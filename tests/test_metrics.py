@@ -1,0 +1,77 @@
+"""MOT metric sanity: known event patterns -> known MOTA/IDF1."""
+
+import numpy as np
+
+from trackmpnn_tpu.eval.mot import MOTAccumulator, iou_distance_matrix, summarize
+from trackmpnn_tpu.eval.detection import compute_map
+
+
+def box_dist(gt, hyp):
+    return iou_distance_matrix(np.array(gt, float), np.array(hyp, float), 0.5)
+
+
+def test_perfect_tracking():
+    acc = MOTAccumulator()
+    b = [[0, 0, 10, 10], [50, 50, 10, 10]]
+    for _ in range(5):
+        acc.update([1, 2], [7, 8], box_dist(b, b))
+    m = summarize([acc])
+    assert m["mota"] == 1.0
+    assert m["idf1"] == 1.0
+    assert m["num_switches"] == 0
+    assert m["mostly_tracked"] == 2
+
+
+def test_id_switch_counted():
+    acc = MOTAccumulator()
+    b = [[0, 0, 10, 10], [50, 50, 10, 10]]
+    for _ in range(3):
+        acc.update([1, 2], [7, 8], box_dist(b, b))
+    # swap hypothesis ids: two switches
+    for _ in range(3):
+        acc.update([1, 2], [8, 7], box_dist(b, [b[1], b[0]])[:, ::-1] if False else box_dist(b, b))
+    m = summarize([acc])
+    assert m["num_switches"] == 2
+    # MOTA = 1 - 2/12
+    np.testing.assert_allclose(m["mota"], 1 - 2 / 12)
+    # IDF1: best global match keeps 1<->7: 3 of 6 frames per track
+    np.testing.assert_allclose(m["idf1"], 0.5)
+
+
+def test_fp_and_miss():
+    acc = MOTAccumulator()
+    gt = [[0, 0, 10, 10]]
+    hyp = [[0, 0, 10, 10], [100, 100, 10, 10]]
+    for _ in range(4):
+        acc.update([1], [7, 9], box_dist(gt, hyp))
+    acc.update([1], [], np.zeros((1, 0)))
+    m = summarize([acc])
+    assert m["num_false_positives"] == 4
+    assert m["num_misses"] == 1
+    np.testing.assert_allclose(m["mota"], 1 - 5 / 5)
+
+
+def test_continuity_preference():
+    """A closer new hypothesis must not steal a continuing match."""
+    acc = MOTAccumulator()
+    gt = [[0, 0, 10, 10]]
+    acc.update([1], [7], box_dist(gt, [[1, 1, 10, 10]]))
+    # frame 2: hyp 9 overlaps slightly better, but 7 continues within gate
+    D = box_dist(gt, [[1, 1, 10, 10], [0, 0, 10, 10]])
+    acc.update([1], [7, 9], D)
+    assert acc.last_match[1] == 7
+    assert acc.num_switches == 0
+
+
+def test_map_perfect_and_missing():
+    y = np.array([[0, 0], [0, 1], [1, 0]], np.int64)
+    bbox = np.zeros((3, 14), np.float32)
+    bbox[:, 0] = 1  # class
+    bbox[:, 2:6] = [[0, 0, 10, 10], [20, 20, 40, 40], [2, 2, 12, 12]]
+    bbox[:, 13] = 0.9
+    gt_dict = {"s": (y, bbox)}
+    pred_dict = {"s": (y, bbox)}
+    assert compute_map(pred_dict, gt_dict) == 1.0
+    # drop one detection: recall caps at 2/3
+    pred2 = {"s": (y[:2], bbox[:2])}
+    assert abs(compute_map(pred2, gt_dict) - 2 / 3) < 1e-6

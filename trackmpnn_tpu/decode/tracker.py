@@ -1,0 +1,170 @@
+"""Rolling-window inference: device scoring + host association planning.
+
+Inference association is inherently sequential (each frame's graph update
+depends on the previous scores, ref infer.py:48-87), so unlike training it
+cannot be a single scan.  The TPU-native structure is: the model forward is
+one jit'd program over a *bucketed* padded capacity (recompiles bounded to
+the handful of bucket sizes), the host engine plans index updates, and the
+only per-step transfers are the tiny score vector down and the new-row
+index plan up.  Hidden state stays in padded row order; decode shrinkage is
+applied with the engine's keep-plan gather.
+
+Mirrors the reference driver loop semantics exactly:
+  - initialize -> forward -> per-timestep [update -> forward -> decode]
+    (ref infer.py:48-87, train.py:223-260 for the val variant)
+  - graph emptied => re-initialize from the current timestep
+    (ref infer.py:64-69)
+  - final timestep decodes the whole remaining window (t_upto = t_end)
+  - when the TP-classifier head is off, detections are forced TP
+    (ref infer.py:53-56)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trackmpnn_tpu.graph import engine
+from trackmpnn_tpu.graph.view import GraphView
+from trackmpnn_tpu.models import mpnn
+
+
+@dataclass
+class TrackerConfig:
+    cur_win_size: int = 5
+    ret_win_size: int = 0
+    hungarian: bool = True
+    tp_classifier: bool = True
+    bucket: int = 256  # capacity rounding; bounds the number of XLA programs
+
+
+def _bucketed(n: int, bucket: int) -> int:
+    if n <= bucket:
+        return bucket
+    cap = bucket
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+@partial(jax.jit, static_argnames=("cfg", "train"))
+def _forward_step(params, batch_stats, cfg, g: GraphView, h_prev, train=False):
+    out, stats = mpnn.forward(params, batch_stats, cfg, g, h_prev, train=train)
+    return out.scores, out.logits, out.hidden, stats
+
+
+class Tracker:
+    """Runs full-sequence tracking with a trained model."""
+
+    def __init__(self, params, batch_stats, model_cfg: mpnn.ModelConfig, cfg: TrackerConfig):
+        self.params = params
+        self.batch_stats = batch_stats
+        self.model_cfg = model_cfg
+        self.cfg = cfg
+
+    # ------------------------------------------------------------ helpers --
+    def _view(self, g: engine.RollingGraph, X: np.ndarray, n_new: int, cap: int) -> GraphView:
+        n = g.n
+        idx = np.arange(cap, dtype=np.int32)
+        is_det = np.zeros(cap, bool)
+        is_det[:n] = g.ts != -1
+        past = idx.copy()
+        fut = idx.copy()
+        er = np.where(g.ts == -1)[0]
+        past[er] = g.past[er]
+        fut[er] = g.fut[er]
+        live = idx < n
+        new = (idx >= n - n_new) & live
+        feat = np.zeros((cap, X.shape[1]), np.float32)
+        dr = np.where(g.ts != -1)[0]
+        feat[dr] = X[g.det_id[dr]]
+        return GraphView(
+            is_det=jnp.asarray(is_det), past=jnp.asarray(past), fut=jnp.asarray(fut),
+            live=jnp.asarray(live), new=jnp.asarray(new), feat=jnp.asarray(feat),
+        )
+
+    def _scores2(self, g: engine.RollingGraph, probs: np.ndarray) -> np.ndarray:
+        """(1-p, p) rows; detections forced TP without the classifier head
+        (ref infer.py:53-56)."""
+        s = np.stack([1.0 - probs, probs], axis=1).astype(np.float32)
+        if not self.cfg.tp_classifier:
+            det = g.ts != -1
+            s[det, 0] = 0.0
+            s[det, 1] = 1.0
+        return s
+
+    def _run_forward(self, g, X, n_new, h_prev):
+        cap = _bucketed(g.n, self.cfg.bucket)
+        view = self._view(g, X, n_new, cap)
+        if h_prev is None:
+            h_pad = None
+        else:
+            nb = len(self.model_cfg.branches)
+            h_pad = np.zeros((cap, nb * self.model_cfg.nhidden), np.float32)
+            h_pad[: h_prev.shape[0]] = h_prev[:cap]
+            h_pad = jnp.asarray(h_pad)
+        scores, logits, hidden, _ = _forward_step(
+            self.params, self.batch_stats, self.model_cfg, view, h_pad, False
+        )
+        n = g.n
+        return (
+            np.asarray(scores)[:n],
+            np.asarray(logits)[:n],
+            np.asarray(hidden)[:n],
+        )
+
+    # ---------------------------------------------------------------- run --
+    def run(self, X: np.ndarray, y_seq: np.ndarray, progress=None) -> np.ndarray:
+        """Track one sequence.
+
+        X: f32[num_dets, F] normalized features; y_seq: int64[num_dets, 2]
+        rows (ts, det-track placeholder) - only column 0 (frame) is read.
+        Returns y_out int64[num_dets, 2]: (frame, track_id), -1 = untracked.
+        """
+        num_dets = X.shape[0]
+        y_out = y_seq.copy().astype(np.int64)
+        y_out[:, 1] = -1
+        if num_dets == 0:
+            return y_out
+
+        g = engine.initialize(y_seq, 0, mode="test")
+        if g is None:
+            return y_out
+        probs, _, hidden = self._run_forward(g, X, g.n, None)
+        scores2 = self._scores2(g, probs)
+
+        t_skip = g.t_next
+        t_end = g.t_end
+        for t_cur in range(t_skip, t_end):
+            if t_cur < t_skip:
+                continue
+            if g.n == 0:
+                g = engine.initialize(y_seq, t_cur, mode="test")
+                if g is None:
+                    break
+                t_skip = g.t_next  # frames consumed by re-init are skipped above
+                probs, _, hidden = self._run_forward(g, X, g.n, None)
+                scores2 = self._scores2(g, probs)
+            else:
+                n_new = engine.update(
+                    g, y_seq, t_cur, scores2, mode="test", use_hungarian=self.cfg.hungarian
+                )
+                probs, _, hidden = self._run_forward(g, X, n_new, hidden)
+                scores2 = self._scores2(g, probs)
+
+            t_upto = t_end if t_cur == t_end - 1 else t_cur - self.cfg.cur_win_size + 2
+            keep = engine.decode_tracks(
+                g, scores2, y_out, t_upto, self.cfg.ret_win_size,
+                use_hungarian=self.cfg.hungarian,
+            )
+            hidden = hidden[keep]
+            scores2 = scores2[keep]
+            if progress is not None:
+                progress(t_cur, t_end)
+
+        return y_out
