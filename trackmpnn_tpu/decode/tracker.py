@@ -119,7 +119,7 @@ class Tracker:
         )
 
     # ---------------------------------------------------------------- run --
-    def run(self, X: np.ndarray, y_seq: np.ndarray, progress=None) -> np.ndarray:
+    def run(self, X: np.ndarray, y_seq: np.ndarray, progress=None, on_step=None) -> np.ndarray:
         """Track one sequence.
 
         X: f32[num_dets, F] normalized features; y_seq: int64[num_dets, 2]
@@ -137,6 +137,8 @@ class Tracker:
             return y_out
         probs, _, hidden = self._run_forward(g, X, g.n, None)
         scores2 = self._scores2(g, probs)
+        if on_step is not None:
+            on_step(g, scores2)
 
         t_skip = g.t_next
         t_end = g.t_end
@@ -157,6 +159,8 @@ class Tracker:
                 probs, _, hidden = self._run_forward(g, X, n_new, hidden)
                 scores2 = self._scores2(g, probs)
 
+            if on_step is not None:
+                on_step(g, scores2)
             t_upto = t_end if t_cur == t_end - 1 else t_cur - self.cfg.cur_win_size + 2
             keep = engine.decode_tracks(
                 g, scores2, y_out, t_upto, self.cfg.ret_win_size,

@@ -3,59 +3,62 @@
 The reference saves only model weights on val-MOTA improvement
 (ref train.py:300-307) so resume restarts optimizer/schedule state; here
 the whole train state (params, batch stats, optimizer state, epoch,
-best metric) round-trips.  Format: a single .npz of flattened pytree
-leaves + a json manifest of the tree structure - dependency-free and
-readable anywhere.
+best metric) round-trips.  Format: one .npz whose keys are pytree key
+paths - self-describing, dependency-free, and loadable into a PARTIAL
+structure (e.g. inference restores only params + batch_stats).
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Any, Tuple
 
 import jax
 import numpy as np
 
 
-def _flatten_with_paths(tree):
-    flat, treedef = jax.tree_util.tree_flatten(tree)
-    return flat, treedef
-
-
-def save(path: str, state: dict) -> None:
-    """state: arbitrary pytree of arrays / scalars / None."""
-    leaves, treedef = jax.tree_util.tree_flatten(state)
-    arrays = {}
-    meta = []
-    for i, leaf in enumerate(leaves):
-        if leaf is None:
-            meta.append({"kind": "none"})
-        elif isinstance(leaf, (int, float, bool, str)):
-            meta.append({"kind": "py", "value": leaf, "type": type(leaf).__name__})
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
         else:
-            arrays[f"leaf_{i}"] = np.asarray(leaf)
-            meta.append({"kind": "array"})
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def save(path: str, state) -> None:
+    """state: pytree of arrays / python scalars / None subtrees."""
+    leaves = jax.tree_util.tree_flatten_with_path(state)[0]
+    arrays, scalars = {}, {}
+    for kp, leaf in leaves:
+        key = _path_str(kp)
+        if isinstance(leaf, (int, float, bool, str)):
+            scalars[key] = leaf
+        else:
+            arrays["arr:" + key] = np.asarray(leaf)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, __meta__=json.dumps({"leaves": meta, "treedef": str(treedef)}), **arrays)
+    np.savez(path, __scalars__=json.dumps(scalars), **arrays)
 
 
-def load(path: str, like: dict) -> dict:
-    """Restore into the structure of `like` (tree shapes must match)."""
+def load(path: str, like):
+    """Restore into the structure of `like`; every leaf present in `like`
+    must exist in the checkpoint (extra checkpoint entries are ignored,
+    enabling partial restores)."""
     data = np.load(path, allow_pickle=False)
-    meta = json.loads(str(data["__meta__"]))
-    leaves_like, treedef = jax.tree_util.tree_flatten(like)
-    if len(meta["leaves"]) != len(leaves_like):
-        raise ValueError(
-            f"checkpoint has {len(meta['leaves'])} leaves, expected {len(leaves_like)}"
-        )
+    scalars = json.loads(str(data["__scalars__"]))
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
     out = []
-    for i, m in enumerate(meta["leaves"]):
-        if m["kind"] == "none":
-            out.append(None)
-        elif m["kind"] == "py":
-            t = {"int": int, "float": float, "bool": bool, "str": str}[m["type"]]
-            out.append(t(m["value"]))
+    for kp, leaf in leaves:
+        key = _path_str(kp)
+        if "arr:" + key in data.files:
+            out.append(data["arr:" + key])
+        elif key in scalars:
+            out.append(type(leaf)(scalars[key]) if leaf is not None else scalars[key])
         else:
-            out.append(data[f"leaf_{i}"])
-    return jax.tree_util.tree_unflatten(treedef, out)
+            raise KeyError(f"checkpoint {path} is missing leaf {key!r}")
+    return jax.tree_util.tree_unflatten(treedef, [l for _, l in zip(leaves, out)])
