@@ -1,0 +1,158 @@
+"""Conv-net primitives with torch-matching semantics, NHWC/TPU-native.
+
+Covers everything the visual backbones need: grouped/dilated conv, BN2d,
+PReLU, avg-pool (count_include_pad), bilinear resize with torch's
+align_corners=True grid.  Params live in a FLAT dict keyed by torch-style
+module paths (e.g. "level1.conv.weight") so pretrained torch checkpoints
+convert by key with only an OIHW->HWIO transpose.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-5
+
+
+# --------------------------------------------------------------- primitives --
+def conv2d(x, w, stride=1, padding="SAME_TORCH", dilation=1, groups=1, ksize=None):
+    """x: NHWC, w: HWIO (I = in_ch / groups). torch 'same-ish' padding:
+    pad = (k-1)//2 * dilation on both sides."""
+    k = w.shape[0] if ksize is None else ksize
+    if padding == "SAME_TORCH":
+        p = (k - 1) // 2 * dilation
+        padding = [(p, p), (p, p)]
+    return jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+
+
+def batchnorm2d(x, gamma, beta, mean, var, train=False):
+    """Inference-mode BN2d (backbone trains rarely; when it does, stats are
+    updated by the caller via batch statistics over N, H, W)."""
+    if train:
+        m = jnp.mean(x, axis=(0, 1, 2))
+        v = jnp.var(x, axis=(0, 1, 2))
+    else:
+        m, v = mean, var
+    return (x - m) * jax.lax.rsqrt(v + BN_EPS) * gamma + beta
+
+
+def bn_train_stats(x):
+    """(batch_mean, biased_var, unbiased_var) over N,H,W for running-stat updates."""
+    m = jnp.mean(x, axis=(0, 1, 2))
+    v = jnp.var(x, axis=(0, 1, 2))
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    return m, v, v * n / max(n - 1, 1)
+
+
+def prelu(x, alpha):
+    """Per-channel PReLU (torch init 0.25)."""
+    return jnp.where(x >= 0, x, x * alpha)
+
+
+def avg_pool2d(x, ksize=3, stride=2, padding=1):
+    """torch F.avg_pool2d with count_include_pad=True: plain sum window / k^2."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        (1, ksize, ksize, 1), (1, stride, stride, 1),
+        [(0, 0), (padding, padding), (padding, padding), (0, 0)],
+    )
+    return s / float(ksize * ksize)
+
+
+def resize_bilinear_align_corners(x, out_h, out_w):
+    """torch F.interpolate(mode='bilinear', align_corners=True): source grid
+    i_src = i_dst * (in-1)/(out-1)."""
+    n, h, w, c = x.shape
+
+    def axis_weights(in_size, out_size):
+        if out_size == 1 or in_size == 1:
+            idx0 = np.zeros(out_size, np.int32)
+            return idx0, idx0, np.ones(out_size, np.float32) * 0.0
+        src = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+        i0 = np.floor(src).astype(np.int32)
+        i0 = np.clip(i0, 0, in_size - 2)
+        frac = (src - i0).astype(np.float32)
+        return i0, i0 + 1, frac
+
+    y0, y1, fy = axis_weights(h, out_h)
+    x0, x1, fx = axis_weights(w, out_w)
+    fy = jnp.asarray(fy)[None, :, None, None]
+    fx = jnp.asarray(fx)[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - fx) + x[:, y0][:, :, x1] * fx
+    bot = x[:, y1][:, :, x0] * (1 - fx) + x[:, y1][:, :, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def upsample2x(x):
+    return resize_bilinear_align_corners(x, x.shape[1] * 2, x.shape[2] * 2)
+
+
+# ----------------------------------------------------------- param helpers --
+def conv_init(key, k, cin_per_group, cout, dtype=jnp.float32):
+    """kaiming_normal_(mode='fan_out') like the reference init
+    (ref espv2/Model.py:224-228): std = sqrt(2 / fan_out)."""
+    fan_out = k * k * cout
+    std = np.sqrt(2.0 / fan_out)
+    return std * jax.random.normal(key, (k, k, cin_per_group, cout), dtype)
+
+
+def add_conv(params, key, name, cin, cout, k, groups=1):
+    params[f"{name}.weight"] = conv_init(key, k, cin // groups, cout)
+
+
+def add_bn(params, name, c):
+    params[f"{name}.weight"] = jnp.ones((c,))
+    params[f"{name}.bias"] = jnp.zeros((c,))
+    params[f"{name}.running_mean"] = jnp.zeros((c,))
+    params[f"{name}.running_var"] = jnp.ones((c,))
+
+
+def add_prelu(params, name, c):
+    params[f"{name}.weight"] = jnp.full((c,), 0.25)
+
+
+def apply_cbr(params, name, x, stride=1, groups=1, dilation=1, train=False):
+    x = conv2d(x, params[f"{name}.conv.weight"], stride=stride, groups=groups,
+               dilation=dilation)
+    x = batchnorm2d(x, params[f"{name}.bn.weight"], params[f"{name}.bn.bias"],
+                    params[f"{name}.bn.running_mean"], params[f"{name}.bn.running_var"],
+                    train)
+    return prelu(x, params[f"{name}.act.weight"])
+
+
+def apply_cb(params, name, x, stride=1, groups=1, train=False):
+    x = conv2d(x, params[f"{name}.conv.weight"], stride=stride, groups=groups)
+    return batchnorm2d(x, params[f"{name}.bn.weight"], params[f"{name}.bn.bias"],
+                       params[f"{name}.bn.running_mean"], params[f"{name}.bn.running_var"],
+                       train)
+
+
+def apply_br(params, name, x, train=False):
+    x = batchnorm2d(x, params[f"{name}.bn.weight"], params[f"{name}.bn.bias"],
+                    params[f"{name}.bn.running_mean"], params[f"{name}.bn.running_var"],
+                    train)
+    return prelu(x, params[f"{name}.act.weight"])
+
+
+def convert_torch_state_dict(state_dict, strip_prefix="module."):
+    """torch state_dict -> flat jax param dict (convs OIHW -> HWIO)."""
+    out = {}
+    for k, v in state_dict.items():
+        if k.startswith(strip_prefix):
+            k = k[len(strip_prefix):]
+        arr = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        if arr.ndim == 4:  # conv OIHW -> HWIO
+            arr = arr.transpose(2, 3, 1, 0)
+        if k.endswith("num_batches_tracked"):
+            continue
+        out[k] = jnp.asarray(arr)
+    return out
