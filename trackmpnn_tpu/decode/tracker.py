@@ -55,7 +55,7 @@ def _bucketed(n: int, bucket: int) -> int:
 @partial(jax.jit, static_argnames=("cfg", "train"))
 def _forward_step(params, batch_stats, cfg, g: GraphView, h_prev, train=False):
     out, stats = mpnn.forward(params, batch_stats, cfg, g, h_prev, train=train)
-    return out.scores, out.logits, out.hidden, stats
+    return out.scores, out.logits, out.hidden, out.attention
 
 
 class Tracker:
@@ -108,10 +108,16 @@ class Tracker:
             h_pad = np.zeros((cap, nb * self.model_cfg.nhidden), np.float32)
             h_pad[: h_prev.shape[0]] = h_prev[:cap]
             h_pad = jnp.asarray(h_pad)
-        scores, logits, hidden, _ = _forward_step(
+        scores, logits, hidden, attention = _forward_step(
             self.params, self.batch_stats, self.model_cfg, view, h_pad, False
         )
         n = g.n
+        if attention is not None:
+            # per branch, per head: doubled-incidence weights [2*cap]
+            # (first cap entries = past-endpoint neighborhoods, rest = future)
+            self.last_attention = jax.tree_util.tree_map(np.asarray, attention)
+        else:
+            self.last_attention = None
         return (
             np.asarray(scores)[:n],
             np.asarray(logits)[:n],
