@@ -29,11 +29,24 @@ Semantics cross-references (reference file:line):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment
+
+# the C++ planner (csrc/graph_planner.cpp) accelerates association + decode
+# planning; TM_NATIVE=0 forces the numpy reference paths below
+_WANT_NATIVE = os.environ.get("TM_NATIVE", "1") != "0"
+
+
+def _native():
+    if not _WANT_NATIVE:
+        return None
+    from trackmpnn_tpu import native
+
+    return native if native.available() else None
 
 
 @dataclass
@@ -228,12 +241,13 @@ def associate_hungarian(g: RollingGraph, scores: np.ndarray) -> None:
 
 
 def associate(g, scores, mode: str, use_hungarian: bool) -> None:
+    nat = _native()
     if mode == "train":
-        associate_teacher_forced(g)
+        (nat.associate_teacher_forced if nat else associate_teacher_forced)(g)
     elif use_hungarian:
-        associate_hungarian(g, scores)
+        (nat.associate_hungarian if nat else associate_hungarian)(g, scores)
     else:
-        associate_greedy(g, scores)
+        (nat.associate_greedy if nat else associate_greedy)(g, scores)
 
 
 # ----------------------------------------------------------------- update ----
@@ -317,6 +331,17 @@ def decode_tracks(
     """
     associate(g, scores, "test", use_hungarian)
 
+    nat = _native()
+    if nat is not None:
+        keep = nat.decode_plan(g, scores, y_out, t_upto, ret_win_size)
+    else:
+        keep = _decode_plan_py(g, scores, y_out, t_upto, ret_win_size)
+    _apply_keep(g, keep)
+    return keep
+
+
+def _decode_plan_py(g, scores, y_out, t_upto, ret_win_size):
+    """numpy reference for chain-walking + deletion planning."""
     next_track_id = int(y_out[:, 1].max()) + 1
     visited = np.zeros(y_out.shape[0], dtype=np.int64)
     for start in range(y_out.shape[0]):
@@ -365,7 +390,11 @@ def decode_tracks(
                 if e >= max_id:
                     delete.add(int(e))
 
-    keep = np.array([i for i in range(g.n) if i not in delete], dtype=np.int64)
+    return np.array([i for i in range(g.n) if i not in delete], dtype=np.int64)
+
+
+def _apply_keep(g: RollingGraph, keep: np.ndarray) -> None:
+    """Filter rows to `keep` (old-row order) and renumber edge endpoints."""
     remap = np.full(g.n, -1, dtype=np.int64)
     remap[keep] = np.arange(len(keep))
     g.ts = g.ts[keep]
@@ -375,7 +404,6 @@ def decode_tracks(
     old_past, old_fut = g.past[keep], g.fut[keep]
     g.past = np.where(old_past >= 0, remap[np.clip(old_past, 0, None)], -1)
     g.fut = np.where(old_fut >= 0, remap[np.clip(old_fut, 0, None)], -1)
-    return keep
 
 
 # ------------------------------------------------------------------ prune ----
@@ -401,13 +429,5 @@ def prune(
     # an edge whose endpoint vanished cannot survive; endpoints are dets and
     # dets are always kept, so endpoints are safe here
     keep = np.where(keep_mask)[0]
-    remap = np.full(g.n, -1, dtype=np.int64)
-    remap[keep] = np.arange(len(keep))
-    g.ts = g.ts[keep]
-    g.det_id = g.det_id[keep]
-    g.ass_id = g.ass_id[keep]
-    g.label = g.label[keep]
-    old_past, old_fut = g.past[keep], g.fut[keep]
-    g.past = np.where(old_past >= 0, remap[np.clip(old_past, 0, None)], -1)
-    g.fut = np.where(old_fut >= 0, remap[np.clip(old_fut, 0, None)], -1)
+    _apply_keep(g, keep)
     return keep
