@@ -1,0 +1,88 @@
+"""End-to-end joint training with visual embeddings (2d+vis) on a synthetic
+KITTI tree with real images."""
+
+import os
+
+import numpy as np
+import pytest
+
+from test_datasets import write_kitti_tree
+
+
+def add_images(root, num_seqs=21, frames=6, hw=(48, 96)):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    for s in range(num_seqs):
+        seq = "%04d" % s
+        imdir = os.path.join(root, "training", "image_02", seq)
+        for fr in range(frames):
+            img = rng.integers(0, 255, (hw[0], hw[1], 3), np.uint8)
+            cv2.imwrite(os.path.join(imdir, "%.6d.png" % fr), img)
+
+
+def test_train_with_vis_features(tmp_path):
+    root = str(tmp_path / "kitti")
+    write_kitti_tree(root, num_seqs=21, frames=6)
+    add_images(root)
+    out = str(tmp_path / "exp")
+
+    from trackmpnn_tpu.cli import train as cli_train
+
+    history = cli_train.main([
+        "--dataset", "kitti", "--dataset-root-path", root,
+        "--output-dir", out, "--category", "Car", "--detections", "rrc",
+        "--feats", "2d+vis", "--cur-win-size", "4", "--epochs", "1",
+        "--num-hidden-feats", "16",
+        "--embed-input-h", "32", "--embed-input-w", "64",
+    ])
+    assert len(history["loss"]) == 1
+    assert os.path.exists(os.path.join(out, "vis-net_best.npz"))
+    ckpt = os.path.join(out, "track-mpnn_best.npz")
+
+    # inference consumes the vis-net by naming convention
+    from test_cli import write_kitti_test_tree
+
+    write_kitti_test_tree(root)
+    from trackmpnn_tpu.cli import infer as cli_infer
+
+    out_infer = str(tmp_path / "exp_infer")
+    cli_infer.main(["--snapshot", ckpt, "--dataset-root-path", root,
+                    "--output-dir", out_infer])
+    assert any(f.endswith(".txt") for f in os.listdir(out_infer))
+
+
+def test_embed_trainer_learns_ids(tmp_path):
+    """FairMOT loss must decrease when the same synthetic 'identities'
+    recur across frames."""
+    import cv2
+
+    from trackmpnn_tpu.train.embed import EmbedTrainer
+
+    imdir = tmp_path / "ims"
+    imdir.mkdir()
+    rng = np.random.default_rng(1)
+    # two distinct texture patches at fixed positions over 4 frames
+    patches = [rng.integers(0, 255, (16, 16, 3), np.uint8) for _ in range(2)]
+    paths = []
+    for fr in range(4):
+        img = np.zeros((32, 64, 3), np.uint8)
+        img[4:20, 4:20] = patches[0]
+        img[4:20, 40:56] = patches[1]
+        p = str(imdir / f"{fr}.png")
+        cv2.imwrite(p, img)
+        paths.append(p)
+
+    et = EmbedTrainer(arch="espv2", num_vis_feats=32, input_hw=(32, 64), max_dets=32)
+    vis_meta = {
+        "images": [(p, False) for p in paths],
+        "centers": [(np.array([12, 12]), np.array([12, 48]))] * 4,
+        "counts": [2] * 4,
+    }
+    tids = np.array([0, 1] * 4, np.int32)
+    losses = []
+    for _ in range(8):
+        feats, loss = et.train_chunk(vis_meta, tids)
+        losses.append(loss)
+    assert feats.shape == (8, 32)
+    assert losses[-1] < losses[0]

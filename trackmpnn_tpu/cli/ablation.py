@@ -18,13 +18,24 @@ def main(argv: Optional[List[str]] = None):
 
     import jax
 
-    from trackmpnn_tpu.cli.train import make_dataset, run_validation
+    from trackmpnn_tpu.cli.train import attach_vis, make_dataset, make_embed_trainer
     from trackmpnn_tpu.decode import Tracker, TrackerConfig
     from trackmpnn_tpu.eval.mot import accumulate_sequence, summarize
     from trackmpnn_tpu.models import mpnn
     from trackmpnn_tpu.train import checkpoint
 
     val_ds = make_dataset(args, "val")
+    embed = make_embed_trainer(args)
+    if embed is not None:
+        import os
+
+        vis_path = os.path.join(
+            os.path.dirname(args.snapshot),
+            os.path.basename(args.snapshot).replace("track-mpnn", "vis-net"),
+        )
+        vstate = checkpoint.load(vis_path, {"params": embed.params,
+                                            "opt_state": embed.opt_state})
+        embed.params = vstate["params"]
     cfg = mpnn.ModelConfig(
         features=args.feats, ncategories=len(val_ds.class_dict),
         nhidden=args.num_hidden_feats, nattheads=args.num_att_heads,
@@ -45,9 +56,11 @@ def main(argv: Optional[List[str]] = None):
 
     accs = []
     for b_idx in range(len(val_ds)):
-        feats, bbox_pred, bbox_gt, _ = val_ds[b_idx]
+        feats, bbox_pred, bbox_gt, vis_meta = val_ds[b_idx]
         if feats.shape[0] == 0 or bbox_gt.shape[0] == 0:
             continue
+        feats, _ = attach_vis(feats, vis_meta, embed,
+                              bbox_pred[:, 1].astype(np.int32), train=False)
         y_out = tracker.run(feats, bbox_pred[:, :2].astype(np.int64))
         acc = accumulate_sequence(bbox_pred[:, 2:], bbox_gt[:, 2:],
                                   y_out, bbox_gt[:, :2].astype(np.int64))

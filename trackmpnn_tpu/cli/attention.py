@@ -67,10 +67,15 @@ def main(argv: Optional[List[str]] = None):
                     per_head[h]["tp"].extend(vals[labs == 1].tolist())
                     per_head[h]["fp"].extend(vals[labs == 0].tolist())
 
+    from trackmpnn_tpu.cli.train import attach_vis, make_embed_trainer
+
+    embed = make_embed_trainer(args)
     for b_idx in range(len(val_ds)):
-        feats, bbox_pred, bbox_gt, _ = val_ds[b_idx]
+        feats, bbox_pred, bbox_gt, vis_meta = val_ds[b_idx]
         if feats.shape[0] == 0:
             continue
+        feats, _ = attach_vis(feats, vis_meta, embed,
+                              bbox_pred[:, 1].astype(np.int32), train=False)
         tracker.run(feats, bbox_pred[:, :2].astype(np.int64), on_step=on_step)
         print(f"Done with sequence {b_idx + 1} of {len(val_ds)}...")
 

@@ -20,12 +20,23 @@ def main(argv: Optional[List[str]] = None):
 
     import jax
 
-    from trackmpnn_tpu.cli.train import make_dataset
+    from trackmpnn_tpu.cli.train import attach_vis, make_dataset, make_embed_trainer
     from trackmpnn_tpu.decode import Tracker, TrackerConfig
     from trackmpnn_tpu.models import mpnn
     from trackmpnn_tpu.train import checkpoint
 
     infer_ds = make_dataset(args, "test")
+    embed = make_embed_trainer(args)
+    if embed is not None:
+        # embedding snapshot resolved by naming convention next to the
+        # tracker snapshot (ref infer.py:15-16)
+        vis_path = os.path.join(
+            os.path.dirname(args.snapshot),
+            os.path.basename(args.snapshot).replace("track-mpnn", "vis-net"),
+        )
+        vstate = checkpoint.load(vis_path, {"params": embed.params,
+                                            "opt_state": embed.opt_state})
+        embed.params = vstate["params"]
     cfg = mpnn.ModelConfig(
         features=args.feats, ncategories=len(infer_ds.class_dict),
         nhidden=args.num_hidden_feats, nattheads=args.num_att_heads,
@@ -46,10 +57,12 @@ def main(argv: Optional[List[str]] = None):
     ))
 
     for b_idx in range(len(infer_ds)):
-        feats, bbox_pred, _, _ = infer_ds[b_idx]
+        feats, bbox_pred, _, vis_meta = infer_ds[b_idx]
         if feats.shape[0] == 0:
             print("No detections available for sequence...")
             continue
+        feats, _ = attach_vis(feats, vis_meta, embed,
+                              bbox_pred[:, 1].astype(np.int32), train=False)
         y_seq = bbox_pred[:, :2].astype(np.int64)
         y_out = tracker.run(
             feats, y_seq,

@@ -33,24 +33,60 @@ def _t_bucket(t: int, base: int = 4) -> int:
     return ((t + base - 1) // base) * base
 
 
-def make_dataset(args, split: str, embed_fn=None):
+def default_input_hw(args):
+    if getattr(args, "embed_input_h", 0) and getattr(args, "embed_input_w", 0):
+        return (args.embed_input_h, args.embed_input_w)
+    return (384, 1280) if args.dataset == "kitti" else (720, 1280)
+
+
+def make_dataset(args, split: str):
+    kw = dict(
+        random_transforms=(split == "train" and getattr(args, "random_transforms", False)),
+        seed=args.seed,
+        defer_vis=True,  # the trainer owns the embedding net
+        input_hw=default_input_hw(args),
+        down_ratio=1 if args.embed_arch == "espv2" else 4,
+    )
     if args.dataset == "kitti":
         from trackmpnn_tpu.data.kitti import KittiMOTDataset
 
         return KittiMOTDataset(
             args.dataset_root_path, split, args.category, args.detections,
-            args.feats, args.cur_win_size, args.ret_win_size,
-            random_transforms=(split == "train" and args.random_transforms),
-            embed_fn=embed_fn, seed=args.seed,
+            args.feats, args.cur_win_size, args.ret_win_size, **kw,
         )
     from trackmpnn_tpu.data.bdd100k import BDD100kMOTDataset
 
     return BDD100kMOTDataset(
         args.dataset_root_path, split, args.category, args.detections,
-        args.feats, args.cur_win_size, args.ret_win_size,
-        random_transforms=(split == "train" and args.random_transforms),
-        embed_fn=embed_fn, seed=args.seed,
+        args.feats, args.cur_win_size, args.ret_win_size, **kw,
     )
+
+
+def make_embed_trainer(args):
+    if "vis" not in args.feats:
+        return None
+    from trackmpnn_tpu.train.embed import EmbedTrainer
+
+    return EmbedTrainer(arch=args.embed_arch, input_hw=default_input_hw(args),
+                        seed=args.seed)
+
+
+def attach_vis(features, vis_meta, embed, track_ids, train: bool):
+    """Compute vis features for a chunk and append the normalized block.
+    Returns (features, embed_loss)."""
+    from trackmpnn_tpu.train.embed import normalized_vis_features
+
+    if embed is None or vis_meta is None or not isinstance(vis_meta, dict):
+        return features, 0.0
+    if train:
+        raw, loss = embed.train_chunk(vis_meta, track_ids)
+    else:
+        raw, loss = embed.infer_chunk(vis_meta), 0.0
+    if raw.shape[0] != features.shape[0]:
+        raise RuntimeError(
+            f"vis feature rows {raw.shape[0]} != detection rows {features.shape[0]}"
+        )
+    return np.concatenate([features, normalized_vis_features(raw)], axis=1), loss
 
 
 def f1_from_counts(tp, fp, fn) -> float:
@@ -58,7 +94,7 @@ def f1_from_counts(tp, fp, fn) -> float:
     return 2 * tp / denom if denom > 0 else 0.0
 
 
-def run_validation(args, cfg, params, stats, val_ds, log):
+def run_validation(args, cfg, params, stats, val_ds, log, embed=None):
     import jax.numpy as jnp
 
     from trackmpnn_tpu.decode import Tracker, TrackerConfig
@@ -73,10 +109,12 @@ def run_validation(args, cfg, params, stats, val_ds, log):
     accs, f1s = [], []
     pred_dict, gt_dict = {}, {}
     for b_idx in range(len(val_ds)):
-        feats, bbox_pred, bbox_gt, _ = val_ds[b_idx]
+        feats, bbox_pred, bbox_gt, vis_meta = val_ds[b_idx]
         if feats.shape[0] == 0 or bbox_gt.shape[0] == 0:
             log("No detections available for sequence...")
             continue
+        feats, _ = attach_vis(feats, vis_meta, embed,
+                              bbox_pred[:, 1].astype(np.int32), train=False)
         y_seq = bbox_pred[:, :2].astype(np.int64)
 
         def on_step(g, scores2):
@@ -126,14 +164,9 @@ def main(argv: Optional[List[str]] = None):
         log_f.write(str(msg) + "\n")
         log_f.flush()
 
-    if "vis" in args.feats:
-        raise NotImplementedError(
-            "visual-embedding training lands with the backbone module; "
-            "use --feats 2d or 2d+temp"
-        )
-
     train_ds = make_dataset(args, "train")
     val_ds = make_dataset(args, "val")
+    embed = make_embed_trainer(args)
 
     cfg = mpnn.ModelConfig(
         features=args.feats, ncategories=len(train_ds.class_dict),
@@ -166,13 +199,16 @@ def main(argv: Optional[List[str]] = None):
     for epoch in range(start_epoch, args.epochs + 1):
         optim.set_lr(opt_state, lr_of(epoch))
         order = rng.permutation(len(train_ds))
-        ep_losses, ep_c, ep_f, ep_f1 = [], [], [], []
+        ep_losses, ep_c, ep_f, ep_d, ep_f1 = [], [], [], [], []
         t0 = time.time()
         for it, idx in enumerate(order):
-            feats, bbox_pred, _, _ = train_ds[int(idx)]
+            feats, bbox_pred, _, vis_meta = train_ds[int(idx)]
             if feats.shape[0] == 0:
                 log("No detections available for sequence...")
                 continue
+            feats, loss_d = attach_vis(feats, vis_meta, embed,
+                                       bbox_pred[:, 1].astype(np.int32), train=True)
+            ep_d.append(loss_d)
             y = bbox_pred[:, :2].astype(np.int64)
             ws = build_window_schedule(
                 feats, y,
@@ -196,6 +232,8 @@ def main(argv: Optional[List[str]] = None):
                 log(f"Epoch: {epoch} [{it + 1}/{len(order)}]\tLoss: {ep_losses[-1]:.5f}")
 
         log("------------------------")
+        if embed is not None and ep_d:
+            log(f"Average embedding loss for epoch = {np.mean(ep_d):.2f}")
         log(f"Average cross-entropy loss for epoch = {np.mean(ep_c):.2f}")
         log(f"Average focal loss for epoch = {np.mean(ep_f):.2f}")
         log(f"Average loss for epoch = {np.mean(ep_losses):.2f}")
@@ -206,7 +244,8 @@ def main(argv: Optional[List[str]] = None):
         history["loss_f"].append(float(np.mean(ep_f)))
         history["train_f1"].append(float(np.mean(ep_f1)))
 
-        val_f1, val_mota, val_map = run_validation(args, cfg, params, stats, val_ds, log)
+        val_f1, val_mota, val_map = run_validation(args, cfg, params, stats,
+                                                   val_ds, log, embed=embed)
         log(f"Validation F1 score = {val_f1:.4f}")
         log(f"Validation MOTA = {val_mota:.2f}%")
         log(f"Validation mAP = {val_map:.2f}%")
@@ -220,6 +259,10 @@ def main(argv: Optional[List[str]] = None):
                      "epoch": epoch, "best_mota": best_mota}
             checkpoint.save(os.path.join(args.output_dir, "track-mpnn_%.4d.npz" % epoch), state)
             checkpoint.save(os.path.join(args.output_dir, "track-mpnn_best.npz"), state)
+            if embed is not None:
+                vstate = {"params": embed.params, "opt_state": embed.opt_state}
+                checkpoint.save(os.path.join(args.output_dir, "vis-net_%.4d.npz" % epoch), vstate)
+                checkpoint.save(os.path.join(args.output_dir, "vis-net_best.npz"), vstate)
             log(f"saved best checkpoint (MOTA {best_mota:.2f}%)")
 
         _save_plots(args.output_dir, history)

@@ -207,6 +207,19 @@ def feature_norm_table(feats: str, ncategories: int, mean_2d, std_2d, num_vis: i
     return np.array(mean, np.float32), np.array(std, np.float32)
 
 
+def center_indices(bboxes: np.ndarray, im_shape, input_hw, down_ratio: int):
+    """(cy, cx) integer embedding-map coords of bbox centers
+    (ref kitti_mot.py:396-405)."""
+    if bboxes.shape[0] == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    in_h, in_w = input_hw
+    cx = (bboxes[:, 0] + bboxes[:, 2]) / 2.0 * in_w / im_shape[1]
+    cy = (bboxes[:, 1] + bboxes[:, 3]) / 2.0 * in_h / im_shape[0]
+    cx = np.clip((cx / down_ratio).astype(np.int64), 0, in_w // down_ratio - 1)
+    cy = np.clip((cy / down_ratio).astype(np.int64), 0, in_h // down_ratio - 1)
+    return cy, cx
+
+
 def extract_center_features(feat_map: np.ndarray, bboxes: np.ndarray, im_shape,
                             input_hw, down_ratio: int) -> np.ndarray:
     """Sample the embedding map at bbox centers (ref kitti_mot.py:391-412).

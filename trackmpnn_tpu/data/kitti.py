@@ -60,6 +60,7 @@ class KittiMOTDataset:
         num_vis_feats: int = 128,
         default_im_hw=(375, 1242),
         seed: Optional[int] = None,
+        defer_vis: bool = False,
     ):
         self.root = root
         self.split = split
@@ -82,6 +83,7 @@ class KittiMOTDataset:
         self.default_im_hw = default_im_hw
         self.dropout_ratio = 0.2
         self.fr_range = 30
+        self.defer_vis = defer_vis  # trainer computes/normalizes vis features
         self._rng = random.Random(seed)
 
         sub = "testing" if split == "test" else "training"
@@ -98,8 +100,9 @@ class KittiMOTDataset:
         )
 
         mean_2d, std_2d = NORM_2D[detections]
+        table_feats = feats.replace("vis", "") if defer_vis else feats
         self.mean, self.std = common.feature_norm_table(
-            feats, len(self.class_dict), mean_2d, std_2d, num_vis_feats
+            table_feats, len(self.class_dict), mean_2d, std_2d, num_vis_feats
         )
 
     def __len__(self):
@@ -172,6 +175,8 @@ class KittiMOTDataset:
         hf = self.random_transforms and self._rng.random() < 0.5
 
         preds, gts, vis = [], [], []
+        vis_meta = {"images": [], "centers": [], "counts": []} if (
+            self.defer_vis and "vis" in self.feats) else None
         for fr in fr_list:
             im_shape = self._im_size(seq, fr)
             gt = self.load_labels(seq, fr, im_shape, hf)
@@ -190,21 +195,31 @@ class KittiMOTDataset:
                 )
                 pred = pred[keep]
             if "vis" in self.feats:
-                fmap = self.embed_fn(os.path.join(self.im_path, seq, "%.6d.png" % fr), hf)
-                vis.append(common.extract_center_features(
-                    np.asarray(fmap), pred[:, 4:8], im_shape, self.input_hw, self.down_ratio
-                ))
+                im_path = os.path.join(self.im_path, seq, "%.6d.png" % fr)
+                if vis_meta is not None:
+                    cy, cx = common.center_indices(pred[:, 4:8], im_shape,
+                                                   self.input_hw, self.down_ratio)
+                    vis_meta["images"].append((im_path, hf))
+                    vis_meta["centers"].append((cy, cx))
+                    vis_meta["counts"].append(pred.shape[0])
+                else:
+                    fmap = self.embed_fn(im_path, hf)
+                    vis.append(common.extract_center_features(
+                        np.asarray(fmap), pred[:, 4:8], im_shape, self.input_hw,
+                        self.down_ratio
+                    ))
             preds.append(pred)
             gts.append(gt)
 
         bbox_pred = np.concatenate(preds, 0) if preds else np.zeros((0, 16), np.float32)
         bbox_gt = np.concatenate(gts, 0) if gts else np.zeros((0, 16), np.float32)
+        feats_str = self.feats.replace("vis", "") if vis_meta is not None else self.feats
         vis_feats = np.concatenate(vis, 0) if vis else None
         features = common.assemble_features(
-            bbox_pred, self.feats, len(self.class_dict), self.mean, self.std,
+            bbox_pred, feats_str, len(self.class_dict), self.mean, self.std,
             vis_feats, self.fr_range,
         )
-        return features, bbox_pred, bbox_gt, vis_feats
+        return features, bbox_pred, bbox_gt, vis_meta if vis_meta is not None else vis_feats
 
 
 def store_kitti_results(bbox_pred, y_out, class_dict, output_path):

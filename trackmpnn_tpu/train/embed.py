@@ -1,0 +1,170 @@
+"""Joint appearance-embedding training, restructured TPU-first.
+
+The reference buries the embedding net inside the Dataset with its own
+optimizer that the training script steps blindly (kitti_mot.py:119-132,
+train.py:136-137), and runs it one frame at a time.  Here the trainer owns
+it: a chunk's frames are batched into one [T, H, W, 3] tensor, the jit'd
+embed step runs backbone forward -> center gather -> FairMOT id loss ->
+Adam update in a single XLA program, and the (stop-gradient) sampled
+features flow into the tracker's vis branch - preserving the reference's
+`features.detach()` contract (kitti_mot.py:568: tracker loss never
+backprops into the backbone).
+
+Recipe parity: espv2 -> Adam(5e-4, wd 5e-4), down_ratio 1; dla34 ->
+Adam(1.25e-4), down_ratio 4 (kitti_mot.py:119-126).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from trackmpnn_tpu.losses.embedding import fairmot_id_loss
+from trackmpnn_tpu.train.optim import _adam_l2
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def load_image(path: str, hflip: bool, input_hw: Tuple[int, int]) -> np.ndarray:
+    """PIL load -> resize -> ImageNet-normalize -> HWC float32.  Unreadable
+    images (frame-count placeholders in tests) become zeros."""
+    h, w = input_hw
+    try:
+        import PIL.Image
+
+        with PIL.Image.open(path) as im:
+            if hflip:
+                im = im.transpose(PIL.Image.FLIP_LEFT_RIGHT)
+            im = im.convert("RGB").resize((w, h), PIL.Image.BILINEAR)
+            arr = np.asarray(im, np.float32) / 255.0
+    except Exception:
+        arr = np.zeros((h, w, 3), np.float32)
+    return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class EmbedTrainer:
+    """Owns backbone params + optimizer; runs batched embed steps."""
+
+    def __init__(self, arch: str = "espv2", num_vis_feats: int = 128,
+                 input_hw: Tuple[int, int] = (384, 1280), seed: int = 5,
+                 max_dets: int = 256):
+        self.arch = arch
+        self.num_vis_feats = num_vis_feats
+        self.input_hw = input_hw
+        self.max_dets = max_dets  # fixed gather capacity (bounds recompiles)
+        key = jax.random.key(seed)
+        if arch == "espv2":
+            from trackmpnn_tpu.backbones import espnetv2
+
+            self.down_ratio = 1
+            self.params = espnetv2.init_espnetv2_seg(key, classes=num_vis_feats)
+            self._apply = lambda p, x, train: espnetv2.apply_espnetv2_seg(
+                p, x, train=False)  # BN uses running stats; see note below
+            self.tx = optax.inject_hyperparams(_adam_l2)(
+                learning_rate=5e-4, weight_decay=5e-4)
+        elif arch == "dla34":
+            from trackmpnn_tpu.backbones import dla
+
+            self.down_ratio = 4
+            heads = {"trk": num_vis_feats}
+            self.params = dla.init_dlaseg(key, heads)
+            self._apply = lambda p, x, train: dla.apply_dlaseg(
+                p, x, heads, train=False)["trk"]
+            self.tx = optax.inject_hyperparams(_adam_l2)(
+                learning_rate=1.25e-4, weight_decay=0.0)
+        else:
+            raise ValueError(f"unknown embed arch {arch!r}")
+        self.opt_state = self.tx.init(self.params)
+        self._step = self._build_step()
+        self._infer = self._build_infer()
+
+    # NOTE on BN: backbone BatchNorms run on running statistics even during
+    # training here (frozen-BN fine-tuning).  The pretrained ImageNet stats
+    # are the sensible operating point for batch=chunk frames; revisit if a
+    # from-scratch backbone run is ever needed.
+
+    def _build_step(self):
+        apply = self._apply
+        tx = self.tx
+        C = self.num_vis_feats
+
+        @jax.jit
+        def step(params, opt_state, images, fr_of, cy, cx, track_ids, valid):
+            def loss_fn(p):
+                fmap = apply(p, images, True)            # [T, Hm, Wm, C]
+                feats = fmap[fr_of, cy, cx]              # [Nmax, C]
+                loss = fairmot_id_loss(feats, track_ids, valid, C)
+                return loss, feats
+
+            (loss, feats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+            return params, opt_state, loss, jax.lax.stop_gradient(feats)
+
+        return step
+
+    def _build_infer(self):
+        apply = self._apply
+
+        @jax.jit
+        def run(params, images, fr_of, cy, cx):
+            fmap = apply(params, images, False)
+            return fmap[fr_of, cy, cx]
+
+        return run
+
+    def _pack(self, vis_meta):
+        T = len(vis_meta["images"])
+        h, w = self.input_hw
+        t_cap = max(((T + 3) // 4) * 4, 4)  # bucket the frame axis (recompiles)
+        images = np.zeros((t_cap, h, w, 3), np.float32)
+        for t, (p, hf) in enumerate(vis_meta["images"]):
+            images[t] = load_image(p, hf, self.input_hw)
+        fr_of, cys, cxs = [], [], []
+        for t, (cy, cx) in enumerate(vis_meta["centers"]):
+            fr_of.extend([t] * len(cy))
+            cys.extend(cy.tolist())
+            cxs.extend(cx.tolist())
+        n = len(fr_of)
+        cap = self.max_dets
+        while cap < n:
+            cap *= 2
+        pad = cap - n
+        fr_of = np.array(fr_of + [0] * pad, np.int32)
+        cys = np.array(cys + [0] * pad, np.int32)
+        cxs = np.array(cxs + [0] * pad, np.int32)
+        valid = np.arange(cap) < n
+        return images, fr_of, cys, cxs, valid, n
+
+    def train_chunk(self, vis_meta, track_ids: np.ndarray):
+        """One embed train step over a chunk.  track_ids: int per det
+        (-1 = FP).  Returns (vis_feats [N, C] np, loss)."""
+        images, fr_of, cy, cx, valid, n = self._pack(vis_meta)
+        tids = np.full(len(valid), -1, np.int32)
+        tids[:n] = track_ids[:n]
+        self.params, self.opt_state, loss, feats = self._step(
+            self.params, self.opt_state, jnp.asarray(images),
+            jnp.asarray(fr_of), jnp.asarray(cy), jnp.asarray(cx),
+            jnp.asarray(tids), jnp.asarray(valid),
+        )
+        return np.asarray(feats)[:n], float(loss)
+
+    def infer_chunk(self, vis_meta):
+        images, fr_of, cy, cx, valid, n = self._pack(vis_meta)
+        feats = self._infer(self.params, jnp.asarray(images), jnp.asarray(fr_of),
+                            jnp.asarray(cy), jnp.asarray(cx))
+        return np.asarray(feats)[:n]
+
+
+def normalized_vis_features(raw_feats: np.ndarray) -> np.ndarray:
+    """softmax over the embedding dim, then the reference's (x-0.5)/0.5
+    standardization of the vis block (kitti_mot.py:163-177, 563-566)."""
+    e = np.exp(raw_feats - raw_feats.max(axis=1, keepdims=True))
+    sm = e / e.sum(axis=1, keepdims=True)
+    return ((sm - 0.5) / 0.5).astype(np.float32)

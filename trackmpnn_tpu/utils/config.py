@@ -59,6 +59,10 @@ def build_train_parser() -> argparse.ArgumentParser:
                    help="device mesh, e.g. 'data=4,edge=2'")
     p.add_argument("--slot-cap", type=int, default=0,
                    help="fixed slot capacity (0 = auto bucket)")
+    p.add_argument("--embed-input-h", type=int, default=0,
+                   help="embedding-net input height (0 = dataset default)")
+    p.add_argument("--embed-input-w", type=int, default=0,
+                   help="embedding-net input width (0 = dataset default)")
     return p
 
 
