@@ -123,12 +123,13 @@ def _node_support(h, g: GraphView, msg_type: str):
 
 
 def _edge_support(h, g: GraphView):
-    """edge_adj_norm @ h: det row d gets sum_{past(e)=d} h[e] - sum_{fut(e)=d} h[e]."""
-    em = g.edge_mask()
-    n = g.capacity
-    pos = segment_sum(h, g.past, n, mask=em)
-    neg = segment_sum(h, g.fut, n, mask=em)
-    return pos - neg
+    """edge_adj_norm @ h: det row d gets sum_{past(e)=d} h[e] - sum_{fut(e)=d} h[e].
+
+    Routed through the differentiable signed-segment-sum dispatch, which
+    runs the Pallas VMEM-resident scatter kernel under TM_PALLAS=1."""
+    from trackmpnn_tpu.ops.pallas_mp import signed_segment_sum
+
+    return signed_segment_sum(h, g.past, g.fut, g.edge_mask(), g.capacity)
 
 
 def _gat_head(params, h, g: GraphView, drop_rng, train: bool):
