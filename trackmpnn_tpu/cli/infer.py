@@ -54,6 +54,7 @@ def main(argv: Optional[List[str]] = None):
     tracker = Tracker(params, stats, cfg, TrackerConfig(
         cur_win_size=args.cur_win_size, ret_win_size=args.ret_win_size,
         hungarian=args.hungarian, tp_classifier=args.tp_classifier,
+        prune_threshold=getattr(args, "prune_threshold", None),
     ))
 
     for b_idx in range(len(infer_ds)):

@@ -41,6 +41,9 @@ class TrackerConfig:
     hungarian: bool = True
     tp_classifier: bool = True
     bucket: int = 256  # capacity rounding; bounds the number of XLA programs
+    # optional low-score edge pruning each step (the reference ships
+    # prune_graph but never calls it, graph.py:337-389; off by default)
+    prune_threshold: Optional[float] = None
 
 
 def _bucketed(n: int, bucket: int) -> int:
@@ -167,6 +170,12 @@ class Tracker:
 
             if on_step is not None:
                 on_step(g, scores2)
+            if self.cfg.prune_threshold is not None and g.n > 0:
+                keep = engine.prune(g, scores2, int(g.ts[g.ts != -1].min()) if
+                                    np.any(g.ts != -1) else 0, t_cur,
+                                    self.cfg.prune_threshold)
+                hidden = hidden[keep]
+                scores2 = scores2[keep]
             t_upto = t_end if t_cur == t_end - 1 else t_cur - self.cfg.cur_win_size + 2
             keep = engine.decode_tracks(
                 g, scores2, y_out, t_upto, self.cfg.ret_win_size,

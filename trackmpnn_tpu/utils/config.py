@@ -115,6 +115,11 @@ def build_infer_parser() -> argparse.ArgumentParser:
     p.add_argument("--snapshot", type=str, required=True)
     p.add_argument("--hungarian", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=5)
+    p.add_argument("--override-cur-win-size", type=int, default=0,
+                   help="override the inherited rolling-window size "
+                        "(window-sweep ablations); 0 = inherit")
+    p.add_argument("--prune-threshold", type=float, default=None,
+                   help="optional per-step low-score edge pruning")
     return p
 
 
@@ -136,4 +141,6 @@ def inherit_training_config(args, snapshot_path: Optional[str] = None):
 def parse_infer_args(argv=None):
     args = build_infer_parser().parse_args(argv)
     args = inherit_training_config(args)
+    if getattr(args, "override_cur_win_size", 0):
+        args.cur_win_size = args.override_cur_win_size
     return finalize_args(args, "infer")
