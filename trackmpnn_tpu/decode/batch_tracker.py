@@ -1,0 +1,178 @@
+"""Batched multi-sequence inference: serving-throughput tracking.
+
+The reference tracks one sequence at a time with a per-timestep
+host<->device round trip (batch size is hard-asserted to 1,
+graph.py:117).  Here K sequences advance in lockstep: each global
+iteration does all K host-side graph plans (C++ planner), stacks the
+padded views, and issues ONE vmapped device forward for the whole batch -
+K times fewer dispatches and far better chip utilization from batched
+matmuls.  Per-sequence results are identical to the single-sequence
+Tracker (asserted in tests): the state machine below is the same
+init -> [update -> forward -> decode] loop with graph-empty re-init.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trackmpnn_tpu.decode.tracker import TrackerConfig, _bucketed
+from trackmpnn_tpu.graph import engine
+from trackmpnn_tpu.graph.view import GraphView
+from trackmpnn_tpu.models import mpnn
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _batched_forward(params, batch_stats, cfg, g: GraphView, h):
+    def one(g1, h1):
+        out, _ = mpnn.forward(params, batch_stats, cfg, g1, h1, train=False)
+        return out.scores, out.hidden
+
+    return jax.vmap(one)(g, h)
+
+
+class _SeqState:
+    """Single sequence's host-side rolling state (mirrors Tracker.run)."""
+
+    def __init__(self, X, y_seq, cfg: TrackerConfig, nb_hidden: int):
+        self.X = X
+        self.y = y_seq.astype(np.int64)
+        self.cfg = cfg
+        self.nbh = nb_hidden
+        self.y_out = self.y.copy()
+        self.y_out[:, 1] = -1
+        self.hidden = np.zeros((0, nb_hidden), np.float32)
+        self.scores2 = np.zeros((0, 2), np.float32)
+        self.g: Optional[engine.RollingGraph] = None
+        self.phase = "init"       # init | loop | done
+        self.t_cur = 0
+        self.t_skip = 0
+        self.t_end = 0
+        self.n_new = 0
+        if X.shape[0] == 0:
+            self.phase = "done"
+
+    # ------------------------------------------------------------ prepare --
+    def prepare(self) -> bool:
+        """Advance host state to the next forward; returns False when done."""
+        c = self.cfg
+        if self.phase == "done":
+            return False
+        if self.phase == "init":
+            self.g = engine.initialize(self.y, 0, mode="test")
+            if self.g is None:
+                self.phase = "done"
+                return False
+            self.t_skip = self.g.t_next
+            self.t_cur = self.t_skip
+            self.t_end = self.g.t_end
+            self.n_new = self.g.n
+            self.hidden = None
+            self.phase = "after_init"
+            return True
+        # loop body: find the next timestep needing work
+        while self.t_cur < self.t_end and self.t_cur < self.t_skip:
+            self.t_cur += 1
+        if self.t_cur >= self.t_end:
+            self.phase = "done"
+            return False
+        if self.g.n == 0:
+            g = engine.initialize(self.y, self.t_cur, mode="test")
+            if g is None:
+                self.phase = "done"
+                return False
+            self.g = g
+            self.t_skip = g.t_next
+            self.n_new = g.n
+            self.hidden = None
+        else:
+            self.n_new = engine.update(self.g, self.y, self.t_cur, self.scores2,
+                                       mode="test", use_hungarian=c.hungarian)
+        self.phase = "after_update"
+        return True
+
+    # ------------------------------------------------------------ consume --
+    def consume(self, probs: np.ndarray, hidden: np.ndarray):
+        c = self.cfg
+        n = self.g.n
+        probs = probs[:n]
+        self.hidden = hidden[:n]
+        s = np.stack([1.0 - probs, probs], axis=1).astype(np.float32)
+        if not c.tp_classifier:
+            det = self.g.ts != -1
+            s[det, 0] = 0.0
+            s[det, 1] = 1.0
+        self.scores2 = s
+        if self.phase == "after_init":
+            self.phase = "loop"
+            return
+        t_upto = self.t_end if self.t_cur == self.t_end - 1 else \
+            self.t_cur - c.cur_win_size + 2
+        keep = engine.decode_tracks(self.g, self.scores2, self.y_out, t_upto,
+                                    c.ret_win_size, use_hungarian=c.hungarian)
+        self.hidden = self.hidden[keep]
+        self.scores2 = self.scores2[keep]
+        self.t_cur += 1
+        self.phase = "loop"
+
+    # --------------------------------------------------------------- view --
+    def view(self, cap: int, nfeats: int):
+        g = self.g
+        n = g.n
+        idx = np.arange(cap, dtype=np.int32)
+        is_det = np.zeros(cap, bool)
+        is_det[:n] = g.ts != -1
+        past = idx.copy()
+        fut = idx.copy()
+        er = np.where(g.ts == -1)[0]
+        past[er] = g.past[er]
+        fut[er] = g.fut[er]
+        live = idx < n
+        new = (idx >= n - self.n_new) & live
+        feat = np.zeros((cap, nfeats), np.float32)
+        dr = np.where(g.ts != -1)[0]
+        feat[dr] = self.X[g.det_id[dr]]
+        h = np.zeros((cap, self.nbh), np.float32)
+        if self.hidden is not None and self.hidden.shape[0]:
+            h[: self.hidden.shape[0]] = self.hidden[:cap]
+        return is_det, past, fut, live, new, feat, h
+
+
+class BatchedTracker:
+    """Tracks K sequences with one vmapped device call per global step."""
+
+    def __init__(self, params, batch_stats, model_cfg: mpnn.ModelConfig,
+                 cfg: TrackerConfig):
+        self.params = params
+        self.batch_stats = batch_stats
+        self.model_cfg = model_cfg
+        self.cfg = cfg
+
+    def run(self, sequences: List) -> List[np.ndarray]:
+        """sequences: list of (X [N,F], y_seq [N,2]).  Returns y_out list."""
+        mc = self.model_cfg
+        nbh = len(mc.branches) * mc.nhidden
+        states = [_SeqState(X, y, self.cfg, nbh) for X, y in sequences]
+        nfeats = mc.nfeatures
+
+        while True:
+            active = [s for s in states if s.prepare()]
+            if not active:
+                break
+            cap = _bucketed(max(s.g.n for s in active), self.cfg.bucket)
+            views = [s.view(cap, nfeats) for s in active]
+            stack = lambda i: jnp.asarray(np.stack([v[i] for v in views]))
+            g = GraphView(is_det=stack(0), past=stack(1), fut=stack(2),
+                          live=stack(3), new=stack(4), feat=stack(5))
+            h = stack(6)
+            scores, hidden = _batched_forward(self.params, self.batch_stats, mc, g, h)
+            scores = np.asarray(scores)
+            hidden = np.asarray(hidden)
+            for k, s in enumerate(active):
+                s.consume(scores[k], hidden[k])
+
+        return [s.y_out for s in states]
