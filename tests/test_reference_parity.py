@@ -34,11 +34,10 @@ def ref_modules():
 
 
 def torch_to_params(model, cfg):
-    """Reference torch state -> our param pytree (single '2d' branch)."""
-    import torch
+    """Reference torch state -> our param pytree (any branch set)."""
+    import jax.numpy as jnp
 
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
-    import jax.numpy as jnp
 
     def t(x):
         return jnp.asarray(x.T.copy())
@@ -46,39 +45,49 @@ def torch_to_params(model, cfg):
     def a(x):
         return jnp.asarray(x.copy())
 
-    branch = {
-        "input": {
-            "lin1": {"w": t(sd["input_transforms.0.0.weight"]),
-                     "b": a(sd["input_transforms.0.0.bias"])},
-            "bn": {"gamma": a(sd["input_transforms.0.1.weight"]),
-                   "beta": a(sd["input_transforms.0.1.bias"])},
-            "lin2": {"w": t(sd["input_transforms.0.3.weight"]),
-                     "b": a(sd["input_transforms.0.3.bias"])},
-        },
-        "edge_gru": {"w_ih": t(sd["factor_grus.0.edge_gru.weight_ih"]),
-                     "w_hh": t(sd["factor_grus.0.edge_gru.weight_hh"]),
-                     "b_ih": a(sd["factor_grus.0.edge_gru.bias_ih"]),
-                     "b_hh": a(sd["factor_grus.0.edge_gru.bias_hh"])},
-        "node_gru": {"w_ih": t(sd["factor_grus.0.node_gru.weight_ih"]),
-                     "w_hh": t(sd["factor_grus.0.node_gru.weight_hh"]),
-                     "b_ih": a(sd["factor_grus.0.node_gru.bias_ih"]),
-                     "b_hh": a(sd["factor_grus.0.node_gru.bias_hh"])},
-    }
+    branches, stats_b = [], []
+    for bi in range(len(cfg.branches)):
+        branch = {
+            "input": {
+                "lin1": {"w": t(sd[f"input_transforms.{bi}.0.weight"]),
+                         "b": a(sd[f"input_transforms.{bi}.0.bias"])},
+                "bn": {"gamma": a(sd[f"input_transforms.{bi}.1.weight"]),
+                       "beta": a(sd[f"input_transforms.{bi}.1.bias"])},
+                "lin2": {"w": t(sd[f"input_transforms.{bi}.3.weight"]),
+                         "b": a(sd[f"input_transforms.{bi}.3.bias"])},
+            },
+            "edge_gru": {"w_ih": t(sd[f"factor_grus.{bi}.edge_gru.weight_ih"]),
+                         "w_hh": t(sd[f"factor_grus.{bi}.edge_gru.weight_hh"]),
+                         "b_ih": a(sd[f"factor_grus.{bi}.edge_gru.bias_ih"]),
+                         "b_hh": a(sd[f"factor_grus.{bi}.edge_gru.bias_hh"])},
+            "node_gru": {"w_ih": t(sd[f"factor_grus.{bi}.node_gru.weight_ih"]),
+                         "w_hh": t(sd[f"factor_grus.{bi}.node_gru.weight_hh"]),
+                         "b_ih": a(sd[f"factor_grus.{bi}.node_gru.bias_ih"]),
+                         "b_hh": a(sd[f"factor_grus.{bi}.node_gru.bias_hh"])},
+        }
+        if cfg.nattheads > 0:
+            branch["gat"] = [
+                {"W_att": a(sd[f"factor_grus.{bi}.gat.{h}.W_att"]),
+                 "a": a(sd[f"factor_grus.{bi}.gat.{h}.a"])}
+                for h in range(cfg.nattheads)
+            ]
+        branches.append(branch)
+        stats_b.append({"bn": {
+            "mean": a(sd[f"input_transforms.{bi}.1.running_mean"]),
+            "var": a(sd[f"input_transforms.{bi}.1.running_var"]),
+        }})
     params = {
-        "branches": [branch],
+        "branches": branches,
         "out_node": {"w": t(sd["output_transform_node.weight"]),
                      "b": a(sd["output_transform_node.bias"])},
         "out_edge": {"w": t(sd["output_transform_edge.weight"]),
                      "b": a(sd["output_transform_edge.bias"])},
     }
-    stats = {"branches": [{"bn": {
-        "mean": a(sd["input_transforms.0.1.running_mean"]),
-        "var": a(sd["input_transforms.0.1.running_var"]),
-    }}]}
-    return params, stats
+    return params, {"branches": stats_b}
 
 
-def reference_rollout(ref_modules, X, y, nhidden, tp_classifier=True):
+def reference_rollout(ref_modules, X, y, nhidden, tp_classifier=True,
+                      features="2d", msg_type="diff", nattheads=0):
     """Teacher-forced training rollout through the reference's graph engine
     and model; returns per-step dense rows of (logits, targets) plus losses
     and the torch model for weight export."""
@@ -86,8 +95,8 @@ def reference_rollout(ref_modules, X, y, nhidden, tp_classifier=True):
 
     RefTrackMPNN, ref_graph, ref_create_targets, RefCELoss, RefFocalLoss = ref_modules
     torch.manual_seed(5)
-    model = RefTrackMPNN(features="2d", ncategories=3, nhidden=nhidden,
-                         nattheads=0, msg_type="diff")
+    model = RefTrackMPNN(features=features, ncategories=3, nhidden=nhidden,
+                         nattheads=nattheads, msg_type=msg_type)
     model.train()
     ce = RefCELoss()
     focal = RefFocalLoss(gamma=0)
@@ -206,10 +215,11 @@ def reference_inference(ref_modules, model, X, y, cur_win, ret_win, hungarian):
     return y_out
 
 
-@pytest.mark.parametrize("hungarian", [False, True])
-def test_full_inference_parity_vs_reference(ref_modules, hungarian):
+@pytest.mark.parametrize("hungarian,nattheads", [(False, 0), (True, 0), (False, 2)])
+def test_full_inference_parity_vs_reference(ref_modules, hungarian, nattheads):
     """Identical weights + detections => identical final tracks through the
-    reference's update/decode loop and our Tracker."""
+    reference's update/decode loop and our Tracker (GAT runs dropout-free in
+    eval mode, so attention models are covered here)."""
     import jax  # noqa: F401
 
     from trackmpnn_tpu.data.synthetic import make_sequence
@@ -221,8 +231,10 @@ def test_full_inference_parity_vs_reference(ref_modules, hungarian):
     X = feats.astype(np.float32)
     y = bp[:, :2].astype(np.int64)
     nhidden = 16
-    model, _ = reference_rollout(ref_modules, X, y, nhidden)  # seeds weights
-    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=nhidden)
+    model, _ = reference_rollout(ref_modules, X, y, nhidden,
+                                 nattheads=nattheads)  # seeds weights
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=nhidden,
+                           nattheads=nattheads)
     params, stats = torch_to_params(model, cfg)
 
     ref_out = reference_inference(ref_modules, model, X, y, cur_win=5,
@@ -233,7 +245,13 @@ def test_full_inference_parity_vs_reference(ref_modules, hungarian):
     np.testing.assert_array_equal(our_out, ref_out)
 
 
-def test_full_window_parity_vs_reference(ref_modules):
+@pytest.mark.parametrize("features,msg_type", [
+    ("2d", "diff"),
+    ("2d", "concat"),
+    ("2d+temp", "diff"),
+    ("2d+temp+vis", "diff"),   # full 3-branch model, synthetic vis columns
+])
+def test_full_window_parity_vs_reference(ref_modules, features, msg_type):
     from trackmpnn_tpu.data.synthetic import make_sequence
     from trackmpnn_tpu.models import mpnn
 
@@ -241,10 +259,17 @@ def test_full_window_parity_vs_reference(ref_modules):
                                  miss_rate=0.1, fp_rate=0.2)
     X = feats.astype(np.float32)
     y = bp[:, :2].astype(np.int64)
+    rng = np.random.default_rng(99)
+    if "temp" in features:
+        X = np.concatenate([X, rng.normal(size=(X.shape[0], 2)).astype(np.float32)], 1)
+    if "vis" in features:
+        X = np.concatenate([X, rng.normal(size=(X.shape[0], 128)).astype(np.float32)], 1)
 
     nhidden = 16
-    model, ref_steps = reference_rollout(ref_modules, X, y, nhidden)
-    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=nhidden)
+    model, ref_steps = reference_rollout(ref_modules, X, y, nhidden,
+                                         features=features, msg_type=msg_type)
+    cfg = mpnn.ModelConfig(features=features, ncategories=3, nhidden=nhidden,
+                           msg_type=msg_type)
     params, stats = torch_to_params(model, cfg)
     ours = our_rollout(params, stats, cfg, X, y)
 
