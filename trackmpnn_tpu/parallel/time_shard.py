@@ -140,6 +140,6 @@ def make_time_sharded_forward(mesh: Mesh, cfg, axis_name: str = "time"):
         in_specs=(repl, repl, spec_row, spec_row, spec_row, spec_row,
                   spec_row, spec_row, spec_row),
         out_specs=(spec_row, spec_row, spec_row, repl),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
