@@ -206,6 +206,9 @@ def bench_torch(schedules, cap, t_cap, max_windows=2):
 
 
 def main():
+    from trackmpnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     use_tpu = probe_tpu()
     if not use_tpu:
         import jax

@@ -152,6 +152,10 @@ def main(argv: Optional[List[str]] = None):
 
     import jax
 
+    from trackmpnn_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from trackmpnn_tpu.graph.schedule import build_window_schedule
     from trackmpnn_tpu.models import mpnn
     from trackmpnn_tpu.train import checkpoint, optim
