@@ -106,6 +106,27 @@ def test_bilinear_up_kernel_interpolates():
     assert np.isclose(w.max(), (0.75) ** 2)
 
 
+def test_dla_checkpoint_merge(tmp_path):
+    params = dla.init_dlaseg(jax.random.key(0), {"trk": 8}, head_conv=16)
+    w_conv = torch.randn(16, 3, 7, 7)          # base_layer conv
+    w_dcn = torch.randn(64, 512, 3, 3)         # dla_up.ida_0.proj_1 DCN main
+    key_dcn = "dla_up.ida_0.proj_1.conv.weight"
+    sd = {"base_layer.0.weight": w_conv, key_dcn: w_dcn,
+          "base_layer.1.weight": torch.ones(16)}
+    # shapes must match the fresh params for the test keys
+    assert params["base.base_layer.0.weight"].shape == (7, 7, 3, 16)
+    kk_i, o = params[key_dcn].shape
+    w_dcn = torch.randn(o, kk_i // 9, 3, 3)
+    sd[key_dcn] = w_dcn
+    p = str(tmp_path / "dla.pth")
+    torch.save(sd, p)
+    merged = dla.load_pretrained(params, p, strip_prefix="module.")
+    np.testing.assert_allclose(np.asarray(merged["base.base_layer.0.weight"]),
+                               w_conv.numpy().transpose(2, 3, 1, 0), rtol=1e-6)
+    want = w_dcn.numpy().transpose(2, 3, 1, 0).reshape(-1, o)
+    np.testing.assert_allclose(np.asarray(merged[key_dcn]), want, rtol=1e-6)
+
+
 def test_dlaseg_shapes():
     params = dla.init_dlaseg(jax.random.key(0), {"trk": 16}, head_conv=32)
     x = jnp.zeros((1, 64, 64, 3))

@@ -270,6 +270,50 @@ def init_dlaseg(key, heads: Dict[str, int], head_conv: int = 256,
     return params
 
 
+def load_pretrained(params: Dict, path: str, strip_prefix="module.") -> Dict:
+    """Merge a torch DLA/DLASeg checkpoint (e.g. CenterTrack-style) into the
+    flat param dict.  Plain convs transpose OIHW->HWIO; DCN main weights
+    reshape [O, I, K, K] -> [K*K*I, O] to match the sampled-column layout
+    of backbones/deform_conv.py; grouped up-convs land as [2f, 2f, 1, O].
+    Keys absent on either side keep their current values."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    merged = dict(params)
+    hits = 0
+    for k, v in sd.items():
+        if k.startswith(strip_prefix):
+            k = k[len(strip_prefix):]
+        if k.endswith("num_batches_tracked"):
+            continue
+        arr = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        for cand in (k, "base." + k):
+            if cand not in merged:
+                continue
+            want = merged[cand].shape
+            if arr.ndim == 4:
+                hwio = arr.transpose(2, 3, 1, 0)
+                if hwio.shape == want:
+                    merged[cand] = jnp.asarray(hwio)
+                elif len(want) == 2 and want == (arr.shape[1] * arr.shape[2] * arr.shape[3],
+                                                 arr.shape[0]):
+                    merged[cand] = jnp.asarray(
+                        hwio.reshape(-1, arr.shape[0]))  # DCN [K*K*I, O]
+                else:
+                    continue
+            elif arr.shape == want:
+                merged[cand] = jnp.asarray(arr)
+            else:
+                continue
+            hits += 1
+            break
+    if hits == 0:
+        raise ValueError(f"no overlapping weights found in {path}")
+    return merged
+
+
 def apply_dlaseg(params, x, heads: Dict[str, int], head_conv: int = 256,
                  down_ratio: int = 4, last_level: int = 5, train: bool = False):
     """x: [N, H, W, 3].  Returns {head: [N, H/d, W/d, classes]}."""
