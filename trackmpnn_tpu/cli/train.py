@@ -97,17 +97,15 @@ def f1_from_counts(tp, fp, fn) -> float:
 def run_validation(args, cfg, params, stats, val_ds, log, embed=None):
     import jax.numpy as jnp
 
-    from trackmpnn_tpu.decode import Tracker, TrackerConfig
+    from trackmpnn_tpu.decode import TrackerConfig
+    from trackmpnn_tpu.decode.batch_tracker import BatchedTracker
     from trackmpnn_tpu.eval.detection import compute_map
     from trackmpnn_tpu.eval.mot import accumulate_sequence, summarize
     from trackmpnn_tpu.losses import f1_counts, make_targets
 
-    tracker = Tracker(params, stats, cfg, TrackerConfig(
-        cur_win_size=args.cur_win_size, ret_win_size=args.ret_win_size,
-        hungarian=args.hungarian, tp_classifier=args.tp_classifier,
-    ))
-    accs, f1s = [], []
-    pred_dict, gt_dict = {}, {}
+    # load all sequences, then track them in lockstep (one vmapped device
+    # call per global step) - the reference can only do one at a time
+    seqs, metas = [], []
     for b_idx in range(len(val_ds)):
         feats, bbox_pred, bbox_gt, vis_meta = val_ds[b_idx]
         if feats.shape[0] == 0 or bbox_gt.shape[0] == 0:
@@ -115,23 +113,34 @@ def run_validation(args, cfg, params, stats, val_ds, log, embed=None):
             continue
         feats, _ = attach_vis(feats, vis_meta, embed,
                               bbox_pred[:, 1].astype(np.int32), train=False)
-        y_seq = bbox_pred[:, :2].astype(np.int64)
+        seqs.append((feats, bbox_pred[:, :2].astype(np.int64)))
+        metas.append((bbox_pred, bbox_gt))
 
-        def on_step(g, scores2):
-            # per-step F1 vs teacher targets, as the reference logs
-            # (train.py:244-253)
-            n = g.n
-            lbl = jnp.asarray(g.label.astype(np.int32))
-            is_det = jnp.asarray(g.ts != -1)
-            past = jnp.asarray(np.where(g.past >= 0, g.past, np.arange(n)).astype(np.int32))
-            fut = jnp.asarray(np.where(g.fut >= 0, g.fut, np.arange(n)).astype(np.int32))
-            live = jnp.ones(n, bool)
-            tgt = make_targets(lbl, is_det, past, fut, live)
-            tp, fp, fn = f1_counts(jnp.asarray(scores2[:, 1]), tgt, is_det, live,
-                                   args.tp_classifier)
-            f1s.append(f1_from_counts(int(tp), int(fp), int(fn)))
+    f1s = []
 
-        y_out = tracker.run(feats, y_seq, on_step=on_step)
+    def on_step(_seq_idx, g, scores2):
+        # per-step F1 vs teacher targets, as the reference logs
+        # (train.py:244-253)
+        n = g.n
+        lbl = jnp.asarray(g.label.astype(np.int32))
+        is_det = jnp.asarray(g.ts != -1)
+        past = jnp.asarray(np.where(g.past >= 0, g.past, np.arange(n)).astype(np.int32))
+        fut = jnp.asarray(np.where(g.fut >= 0, g.fut, np.arange(n)).astype(np.int32))
+        live = jnp.ones(n, bool)
+        tgt = make_targets(lbl, is_det, past, fut, live)
+        tp, fp, fn = f1_counts(jnp.asarray(scores2[:, 1]), tgt, is_det, live,
+                               args.tp_classifier)
+        f1s.append(f1_from_counts(int(tp), int(fp), int(fn)))
+
+    tracker = BatchedTracker(params, stats, cfg, TrackerConfig(
+        cur_win_size=args.cur_win_size, ret_win_size=args.ret_win_size,
+        hungarian=args.hungarian, tp_classifier=args.tp_classifier,
+    ))
+    y_outs = tracker.run(seqs, on_step=on_step)
+
+    accs = []
+    pred_dict, gt_dict = {}, {}
+    for b_idx, ((bbox_pred, bbox_gt), y_out) in enumerate(zip(metas, y_outs)):
         y_gt = bbox_gt[:, :2].astype(np.int64)
         acc = accumulate_sequence(bbox_pred[:, 2:], bbox_gt[:, 2:], y_out, y_gt)
         if acc is not None:
@@ -139,7 +148,7 @@ def run_validation(args, cfg, params, stats, val_ds, log, embed=None):
         sel = y_out[:, 1] >= 0
         pred_dict[str(b_idx)] = (y_out[sel], bbox_pred[sel, 2:])
         gt_dict[str(b_idx)] = (y_gt, bbox_gt[:, 2:])
-        log(f"Done with sequence {b_idx + 1} of {len(val_ds)}...")
+        log(f"Done with sequence {b_idx + 1} of {len(metas)}...")
 
     val_f1 = float(np.mean(f1s)) if f1s else 0.0
     val_mota = 100.0 * summarize(accs)["mota"] if accs else -1.0

@@ -96,7 +96,7 @@ class _SeqState:
         return True
 
     # ------------------------------------------------------------ consume --
-    def consume(self, probs: np.ndarray, hidden: np.ndarray):
+    def consume(self, probs: np.ndarray, hidden: np.ndarray, on_step=None):
         c = self.cfg
         n = self.g.n
         probs = probs[:n]
@@ -107,6 +107,8 @@ class _SeqState:
             s[det, 0] = 0.0
             s[det, 1] = 1.0
         self.scores2 = s
+        if on_step is not None:
+            on_step(self.g, self.scores2)
         if self.phase == "after_init":
             self.phase = "loop"
             return
@@ -152,8 +154,9 @@ class BatchedTracker:
         self.model_cfg = model_cfg
         self.cfg = cfg
 
-    def run(self, sequences: List) -> List[np.ndarray]:
-        """sequences: list of (X [N,F], y_seq [N,2]).  Returns y_out list."""
+    def run(self, sequences: List, on_step=None) -> List[np.ndarray]:
+        """sequences: list of (X [N,F], y_seq [N,2]).  Returns y_out list.
+        on_step(seq_index, graph, scores2) fires after every forward."""
         mc = self.model_cfg
         nbh = len(mc.branches) * mc.nhidden
         states = [_SeqState(X, y, self.cfg, nbh) for X, y in sequences]
@@ -173,6 +176,8 @@ class BatchedTracker:
             scores = np.asarray(scores)
             hidden = np.asarray(hidden)
             for k, s in enumerate(active):
-                s.consume(scores[k], hidden[k])
+                cb = (lambda g, sc, _i=states.index(s): on_step(_i, g, sc)) \
+                    if on_step is not None else None
+                s.consume(scores[k], hidden[k], on_step=cb)
 
         return [s.y_out for s in states]
