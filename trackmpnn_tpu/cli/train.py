@@ -214,24 +214,45 @@ def main(argv: Optional[List[str]] = None):
         order = rng.permutation(len(train_ds))
         ep_losses, ep_c, ep_f, ep_d, ep_f1 = [], [], [], [], []
         t0 = time.time()
-        for it, idx in enumerate(order):
-            feats, bbox_pred, _, vis_meta = train_ds[int(idx)]
+
+        def build_chunk(i):
+            feats, bbox_pred, _, vis_meta = train_ds[int(i)]
             if feats.shape[0] == 0:
+                return None
+            if embed is not None:
+                # vis path: embed step mutates device state; stay serial
+                return ("raw", feats, bbox_pred, vis_meta)
+            ws = _build_sched(feats, bbox_pred)
+            return ("sched", ws, bbox_pred) if ws is not None else None
+
+        def _build_sched(feats, bbox_pred):
+            y = bbox_pred[:, :2].astype(np.int64)
+            ws = build_window_schedule(feats, y, cap=args.slot_cap or None, bucket=256)
+            if ws is None:
+                return None
+            cap = args.slot_cap or _bucket(ws.n_rows)
+            return build_window_schedule(feats, y, cap=cap,
+                                         t_cap=_t_bucket(ws.n_steps))
+
+        from trackmpnn_tpu.data.loader import PrefetchLoader
+
+        loader = PrefetchLoader(build_chunk, order, depth=4,
+                                workers=1 if embed is not None else 2)
+        for it, item in enumerate(loader):
+            if item is None:
                 log("No detections available for sequence...")
                 continue
-            feats, loss_d = attach_vis(feats, vis_meta, embed,
-                                       bbox_pred[:, 1].astype(np.int32), train=True)
-            ep_d.append(loss_d)
-            y = bbox_pred[:, :2].astype(np.int64)
-            ws = build_window_schedule(
-                feats, y,
-                cap=args.slot_cap or None,
-                bucket=256,
-            )
+            if item[0] == "raw":
+                _, feats, bbox_pred, vis_meta = item
+                feats, loss_d = attach_vis(feats, vis_meta, embed,
+                                           bbox_pred[:, 1].astype(np.int32),
+                                           train=True)
+                ep_d.append(loss_d)
+                ws = _build_sched(feats, bbox_pred)
+            else:
+                _, ws, bbox_pred = item
             if ws is None:
                 continue
-            cap = args.slot_cap or _bucket(ws.n_rows)
-            ws = build_window_schedule(feats, y, cap=cap, t_cap=_t_bucket(ws.n_steps))
             sb = schedule_to_device(ws)
             params, stats, opt_state, loss, aux = step(params, stats, opt_state, sb)
             ep_losses.append(float(loss))
