@@ -34,56 +34,10 @@ def ref_modules():
 
 
 def torch_to_params(model, cfg):
-    """Reference torch state -> our param pytree (any branch set)."""
-    import jax.numpy as jnp
+    """Delegates to the library converter (models/convert.py)."""
+    from trackmpnn_tpu.models.convert import from_state_dict
 
-    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
-
-    def t(x):
-        return jnp.asarray(x.T.copy())
-
-    def a(x):
-        return jnp.asarray(x.copy())
-
-    branches, stats_b = [], []
-    for bi in range(len(cfg.branches)):
-        branch = {
-            "input": {
-                "lin1": {"w": t(sd[f"input_transforms.{bi}.0.weight"]),
-                         "b": a(sd[f"input_transforms.{bi}.0.bias"])},
-                "bn": {"gamma": a(sd[f"input_transforms.{bi}.1.weight"]),
-                       "beta": a(sd[f"input_transforms.{bi}.1.bias"])},
-                "lin2": {"w": t(sd[f"input_transforms.{bi}.3.weight"]),
-                         "b": a(sd[f"input_transforms.{bi}.3.bias"])},
-            },
-            "edge_gru": {"w_ih": t(sd[f"factor_grus.{bi}.edge_gru.weight_ih"]),
-                         "w_hh": t(sd[f"factor_grus.{bi}.edge_gru.weight_hh"]),
-                         "b_ih": a(sd[f"factor_grus.{bi}.edge_gru.bias_ih"]),
-                         "b_hh": a(sd[f"factor_grus.{bi}.edge_gru.bias_hh"])},
-            "node_gru": {"w_ih": t(sd[f"factor_grus.{bi}.node_gru.weight_ih"]),
-                         "w_hh": t(sd[f"factor_grus.{bi}.node_gru.weight_hh"]),
-                         "b_ih": a(sd[f"factor_grus.{bi}.node_gru.bias_ih"]),
-                         "b_hh": a(sd[f"factor_grus.{bi}.node_gru.bias_hh"])},
-        }
-        if cfg.nattheads > 0:
-            branch["gat"] = [
-                {"W_att": a(sd[f"factor_grus.{bi}.gat.{h}.W_att"]),
-                 "a": a(sd[f"factor_grus.{bi}.gat.{h}.a"])}
-                for h in range(cfg.nattheads)
-            ]
-        branches.append(branch)
-        stats_b.append({"bn": {
-            "mean": a(sd[f"input_transforms.{bi}.1.running_mean"]),
-            "var": a(sd[f"input_transforms.{bi}.1.running_var"]),
-        }})
-    params = {
-        "branches": branches,
-        "out_node": {"w": t(sd["output_transform_node.weight"]),
-                     "b": a(sd["output_transform_node.bias"])},
-        "out_edge": {"w": t(sd["output_transform_edge.weight"]),
-                     "b": a(sd["output_transform_edge.bias"])},
-    }
-    return params, {"branches": stats_b}
+    return from_state_dict(model.state_dict(), cfg)
 
 
 def reference_rollout(ref_modules, X, y, nhidden, tp_classifier=True,
