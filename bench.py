@@ -31,30 +31,37 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", 16))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 20))
 
 
-def probe_tpu(timeout=150) -> bool:
-    # jit-first with a cache-busting constant: exercises the real (slow)
-    # compile path through the tunnel, not a cached executable
+def probe_tpu(timeout=150, attempts=3) -> bool:
+    """Execute a tiny jit through the tunnel in a subprocess.  The tunnel is
+    occasionally wedged for minutes (see CLAUDE.md), so retry; the probe
+    enables the persistent compilation cache so repeat probes are fast while
+    still proving the execution path works."""
     code = (
-        "import random, jax, jax.numpy as jnp;"
-        "c = random.random();"
-        "f = jax.jit(lambda a: jnp.tanh(a @ a + c).sum());"
+        "import sys; sys.path.insert(0, %r);"
+        "from trackmpnn_tpu.utils.cache import enable_compilation_cache;"
+        "enable_compilation_cache();"
+        "import jax, jax.numpy as jnp;"
+        "f = jax.jit(lambda a: jnp.tanh(a @ a + 0.125).sum());"
         "print(float(f(jnp.ones((128, 128)))))"
-    )
-    p = subprocess.Popen(
-        [sys.executable, "-c", code],
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        start_new_session=True,
-    )
-    try:
-        return p.wait(timeout=timeout) == 0
-    except subprocess.TimeoutExpired:
-        import signal
-
+    ) % os.path.dirname(os.path.abspath(__file__))
+    for attempt in range(attempts):
+        p = subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
         try:
-            os.killpg(os.getpgid(p.pid), signal.SIGKILL)
-        except OSError:
-            pass
-        return False
+            if p.wait(timeout=timeout) == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            import signal
+
+            try:
+                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+            except OSError:
+                pass
+        time.sleep(30 * (attempt + 1))
+    return False
 
 
 def _make_raw(cap=None, t_cap=None):
