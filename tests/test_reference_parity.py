@@ -126,6 +126,104 @@ def our_rollout(params, stats, cfg, X, y):
     return out_steps
 
 
+def test_gradient_parity_vs_reference(ref_modules):
+    """Training-dynamics parity: d(total window loss)/d(theta) computed by
+    torch autograd through the reference's graph/model/losses must match
+    jax.grad through our scanned window, parameter by parameter."""
+    import torch
+
+    from trackmpnn_tpu.data.synthetic import make_sequence
+    from trackmpnn_tpu.graph.schedule import build_window_schedule
+    from trackmpnn_tpu.models import mpnn
+    from trackmpnn_tpu.models.convert import from_state_dict
+    from trackmpnn_tpu.train.step import schedule_to_device, window_forward
+
+    RefTrackMPNN, ref_graph, ref_create_targets, RefCELoss, RefFocalLoss = ref_modules
+
+    feats, bp, _ = make_sequence(num_tracks=4, num_frames=6, seed=41,
+                                 miss_rate=0.1, fp_rate=0.2)
+    X = feats.astype(np.float32)
+    y = bp[:, :2].astype(np.int64)
+
+    torch.manual_seed(7)
+    model = RefTrackMPNN(features="2d", ncategories=3, nhidden=16,
+                         nattheads=0, msg_type="diff")
+    model.train()
+    ce = RefCELoss()
+    focal = RefFocalLoss(gamma=0)
+
+    # ----- reference: accumulate loss over the window, then backward
+    X_t = torch.tensor(X)[None]
+    y_t = torch.tensor(y)[None]
+    out = ref_graph.initialize_graph(X_t, y_t, t_st=0, mode="train", cuda=False)
+    y_pred, g_feats, node_adj, edge_adj, labels, t_st, t_end = out
+    scores, logits, states, _ = model(g_feats, None, node_adj, edge_adj)
+
+    def step_losses_ref(scores, logits, y_pred, labels, node_adj):
+        idx_node = torch.nonzero(y_pred[:, 0] != -1)[:, 0]
+        idx_edge = torch.nonzero(y_pred[:, 0] == -1)[:, 0]
+        targets = ref_create_targets(labels, node_adj, idx_node)
+        lc = ce(logits, targets, node_adj, idx_node)
+        lf = focal(scores[idx_node, 0], targets[idx_node]) + \
+            focal(scores[idx_edge, 0], targets[idx_edge])
+        return lc + lf
+
+    total = step_losses_ref(scores, logits, y_pred, labels, node_adj)
+    sc2 = torch.cat((1 - scores, scores), dim=1)
+    for t_cur in range(t_st, t_end):
+        y_pred, g_feats, node_adj, edge_adj, labels = ref_graph.update_graph(
+            node_adj, labels, sc2, y_pred, X_t, y_t, t_cur,
+            use_hungraian=False, mode="train", cuda=False)
+        scores, logits, states, _ = model(g_feats, states, node_adj, edge_adj)
+        total = total + step_losses_ref(scores, logits, y_pred, labels, node_adj)
+        sc2 = torch.cat((1 - scores, scores), dim=1)
+    model.zero_grad()
+    total.backward()
+    ref_grads = {k: p.grad.detach().numpy().copy()
+                 for k, p in model.named_parameters() if p.grad is not None}
+
+    # ----- ours: jax.grad of the scanned window loss with the same weights
+    import jax
+
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=16)
+    params, stats = from_state_dict(model.state_dict(), cfg)
+    ws = build_window_schedule(X, y, bucket=64)
+    sb = schedule_to_device(ws)
+
+    def loss_fn(p):
+        loss, _ = window_forward(p, stats, cfg, sb, tp_classifier=True, train=True)
+        return loss
+
+    loss_val, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_val), float(total.detach()), rtol=1e-4)
+
+    b = grads["branches"][0]
+    pairs = {
+        "input_transforms.0.0.weight": np.asarray(b["input"]["lin1"]["w"]).T,
+        "input_transforms.0.0.bias": np.asarray(b["input"]["lin1"]["b"]),
+        "input_transforms.0.1.weight": np.asarray(b["input"]["bn"]["gamma"]),
+        "input_transforms.0.1.bias": np.asarray(b["input"]["bn"]["beta"]),
+        "input_transforms.0.3.weight": np.asarray(b["input"]["lin2"]["w"]).T,
+        "input_transforms.0.3.bias": np.asarray(b["input"]["lin2"]["b"]),
+        "factor_grus.0.edge_gru.weight_ih": np.asarray(b["edge_gru"]["w_ih"]).T,
+        "factor_grus.0.edge_gru.weight_hh": np.asarray(b["edge_gru"]["w_hh"]).T,
+        "factor_grus.0.edge_gru.bias_ih": np.asarray(b["edge_gru"]["b_ih"]),
+        "factor_grus.0.edge_gru.bias_hh": np.asarray(b["edge_gru"]["b_hh"]),
+        "factor_grus.0.node_gru.weight_ih": np.asarray(b["node_gru"]["w_ih"]).T,
+        "factor_grus.0.node_gru.weight_hh": np.asarray(b["node_gru"]["w_hh"]).T,
+        "factor_grus.0.node_gru.bias_ih": np.asarray(b["node_gru"]["b_ih"]),
+        "factor_grus.0.node_gru.bias_hh": np.asarray(b["node_gru"]["b_hh"]),
+        "output_transform_node.weight": np.asarray(grads["out_node"]["w"]).T,
+        "output_transform_node.bias": np.asarray(grads["out_node"]["b"]),
+        "output_transform_edge.weight": np.asarray(grads["out_edge"]["w"]).T,
+        "output_transform_edge.bias": np.asarray(grads["out_edge"]["b"]),
+    }
+    for name, ours in pairs.items():
+        ref = ref_grads[name]
+        np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=1e-5,
+                                   err_msg=f"gradient mismatch: {name}")
+
+
 def reference_inference(ref_modules, model, X, y, cur_win, ret_win, hungarian):
     """The reference's val/infer rolling loop (train.py:223-260 shape),
     driven directly through its graph engine; returns y_out."""
