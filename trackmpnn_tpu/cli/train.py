@@ -89,6 +89,17 @@ def attach_vis(features, vis_meta, embed, track_ids, train: bool):
     return np.concatenate([features, normalized_vis_features(raw)], axis=1), loss
 
 
+def _parse_mesh(spec):
+    """'data=4,edge=2' -> {'data': 4, 'edge': 2}; None passes through."""
+    if not spec:
+        return None
+    out = {}
+    for part in spec.split(","):
+        k, v = part.split("=")
+        out[k.strip()] = int(v)
+    return out
+
+
 def f1_from_counts(tp, fp, fn) -> float:
     denom = 2 * tp + fp + fn
     return 2 * tp / denom if denom > 0 else 0.0
@@ -202,7 +213,27 @@ def main(argv: Optional[List[str]] = None):
         best_mota = float(state["best_mota"])
         log(f"resumed from {args.snapshot} at epoch {start_epoch}")
 
-    step = make_train_step(cfg, tx, args.tp_classifier)
+    # batched / sharded training path (net-new capability; reference is
+    # strictly batch-1 single-device)
+    mesh_axes = _parse_mesh(args.mesh)
+    batch_windows = max(args.batch_windows, 1)
+    use_batched = batch_windows > 1 or mesh_axes is not None
+    if use_batched:
+        from trackmpnn_tpu.parallel import batch_schedules, make_mesh, make_sharded_train_step
+
+        mesh_axes = mesh_axes or {"data": 1}
+        if "data" not in mesh_axes:
+            raise ValueError("--mesh must include a 'data' axis")
+        if batch_windows % mesh_axes["data"] != 0:
+            raise ValueError("--batch-windows must divide by the data axis size")
+        n_mesh = int(np.prod(list(mesh_axes.values())))
+        mesh = make_mesh(mesh_axes, jax.devices()[:n_mesh])
+        edge_axis = "edge" if mesh_axes.get("edge", 1) > 1 else None
+        step = make_sharded_train_step(mesh, cfg, tx, args.tp_classifier,
+                                       edge_axis=edge_axis)
+        log(f"batched training: {batch_windows} windows/step over mesh {mesh_axes}")
+    else:
+        step = make_train_step(cfg, tx, args.tp_classifier)
     lr_of = optim.step_lr(args.learning_rate)
     rng = np.random.default_rng(args.seed)
 
@@ -223,21 +254,46 @@ def main(argv: Optional[List[str]] = None):
                 # vis path: embed step mutates device state; stay serial
                 return ("raw", feats, bbox_pred, vis_meta)
             ws = _build_sched(feats, bbox_pred)
-            return ("sched", ws, bbox_pred) if ws is not None else None
+            return ("sched", ws, feats, bbox_pred) if ws is not None else None
 
-        def _build_sched(feats, bbox_pred):
+        def _build_sched(feats, bbox_pred, cap=None, t_cap=None):
             y = bbox_pred[:, :2].astype(np.int64)
-            ws = build_window_schedule(feats, y, cap=args.slot_cap or None, bucket=256)
-            if ws is None:
-                return None
-            cap = args.slot_cap or _bucket(ws.n_rows)
-            return build_window_schedule(feats, y, cap=cap,
-                                         t_cap=_t_bucket(ws.n_steps))
+            if cap is None:
+                ws = build_window_schedule(feats, y, cap=args.slot_cap or None,
+                                           bucket=256)
+                if ws is None:
+                    return None
+                cap = args.slot_cap or _bucket(ws.n_rows)
+                t_cap = _t_bucket(ws.n_steps)
+            return build_window_schedule(feats, y, cap=cap, t_cap=t_cap)
+
+        def record(loss, aux):
+            ep_losses.append(float(loss))
+            ep_c.append(float(np.asarray(aux["loss_ce"]).mean()))
+            ep_f.append(float(np.asarray(aux["loss_f"]).mean()))
+            tp = int(np.sum(np.asarray(aux["tp"])))
+            fp = int(np.sum(np.asarray(aux["fp"])))
+            fn = int(np.sum(np.asarray(aux["fn"])))
+            ep_f1.append(f1_from_counts(tp, fp, fn))
+
+        def flush_batch(buffer):
+            nonlocal params, stats, opt_state
+            cap = max(len(w.is_det) for w, _, _ in buffer)
+            t_cap = max(len(w.n_before) for w, _, _ in buffer)
+            scheds = []
+            for ws, feats_b, bbox_b in buffer:
+                if len(ws.is_det) != cap or len(ws.n_before) != t_cap:
+                    ws = _build_sched(feats_b, bbox_b, cap=cap, t_cap=t_cap)
+                scheds.append(ws)
+            sbatch = batch_schedules(scheds, cap, t_cap)
+            params, stats, opt_state, loss, aux = step(params, stats, opt_state, sbatch)
+            record(loss, aux)
 
         from trackmpnn_tpu.data.loader import PrefetchLoader
 
         loader = PrefetchLoader(build_chunk, order, depth=4,
                                 workers=1 if embed is not None else 2)
+        batch_buf = []
         for it, item in enumerate(loader):
             if item is None:
                 log("No detections available for sequence...")
@@ -250,20 +306,22 @@ def main(argv: Optional[List[str]] = None):
                 ep_d.append(loss_d)
                 ws = _build_sched(feats, bbox_pred)
             else:
-                _, ws, bbox_pred = item
+                _, ws, feats, bbox_pred = item
             if ws is None:
                 continue
-            sb = schedule_to_device(ws)
-            params, stats, opt_state, loss, aux = step(params, stats, opt_state, sb)
-            ep_losses.append(float(loss))
-            ep_c.append(float(aux["loss_ce"]))
-            ep_f.append(float(aux["loss_f"]))
-            tp = int(np.sum(np.asarray(aux["tp"])))
-            fp = int(np.sum(np.asarray(aux["fp"])))
-            fn = int(np.sum(np.asarray(aux["fn"])))
-            ep_f1.append(f1_from_counts(tp, fp, fn))
-            if it % args.log_schedule == 0:
+            if use_batched:
+                batch_buf.append((ws, feats, bbox_pred))
+                if len(batch_buf) == batch_windows:
+                    flush_batch(batch_buf)
+                    batch_buf = []
+            else:
+                sb = schedule_to_device(ws)
+                params, stats, opt_state, loss, aux = step(params, stats, opt_state, sb)
+                record(loss, aux)
+            if ep_losses and it % args.log_schedule == 0:
                 log(f"Epoch: {epoch} [{it + 1}/{len(order)}]\tLoss: {ep_losses[-1]:.5f}")
+        if batch_buf:
+            log(f"dropping {len(batch_buf)} leftover chunk(s) (< batch-windows)")
 
         log("------------------------")
         if embed is not None and ep_d:
