@@ -35,6 +35,27 @@ def test_signed_segment_sum_interpret(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_gather_diff_interpret(rng):
+    hid, past, fut, edge, *_ = map(jnp.asarray, make_problem(rng, n=128, h=32))
+    want = pallas_mp.gather_diff_reference(hid, past, fut, edge)
+    got = pallas_mp.gather_diff_pallas(hid, past, fut, edge, interpret=True, tile=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_gather_diff_grad(rng):
+    hid, past, fut, edge, *_ = map(jnp.asarray, make_problem(rng, n=128, h=32))
+
+    def f_dispatch(h):
+        return jnp.sum(jnp.cos(pallas_mp.gather_diff(h, past, fut, edge)))
+
+    def f_ref(h):
+        return jnp.sum(jnp.cos(pallas_mp.gather_diff_reference(h, past, fut, edge)))
+
+    g1 = jax.grad(f_dispatch)(hid)
+    g2 = jax.grad(f_ref)(hid)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
 def test_signed_segment_sum_grad(rng):
     """custom-vjp backward must equal autodiff of the reference."""
     hid, past, fut, edge, *_ = map(jnp.asarray, make_problem(rng, n=128, h=32))

@@ -162,6 +162,10 @@ def run_validation(args, cfg, params, stats, val_ds, log, embed=None):
         log(f"Done with sequence {b_idx + 1} of {len(metas)}...")
 
     val_f1 = float(np.mean(f1s)) if f1s else 0.0
+    # per-sequence MOTA logging, as the reference does (train.py:289-290)
+    for i, acc in enumerate(accs):
+        log(f"Validation MOTA for sequence {i} = "
+            f"{100.0 * summarize([acc])['mota']:.2f}%")
     val_mota = 100.0 * summarize(accs)["mota"] if accs else -1.0
     val_map = 100.0 * compute_map(pred_dict, gt_dict) if gt_dict else 0.0
     return val_f1, val_mota, val_map
@@ -233,7 +237,8 @@ def main(argv: Optional[List[str]] = None):
                                        edge_axis=edge_axis)
         log(f"batched training: {batch_windows} windows/step over mesh {mesh_axes}")
     else:
-        step = make_train_step(cfg, tx, args.tp_classifier)
+        step = make_train_step(cfg, tx, args.tp_classifier,
+                               return_grads=args.plot_gradients)
     lr_of = optim.step_lr(args.learning_rate)
     rng = np.random.default_rng(args.seed)
 
@@ -318,6 +323,12 @@ def main(argv: Optional[List[str]] = None):
                 sb = schedule_to_device(ws)
                 params, stats, opt_state, loss, aux = step(params, stats, opt_state, sb)
                 record(loss, aux)
+                if args.plot_gradients and len(ep_losses) % 100 == 1 and "grads" in aux:
+                    from trackmpnn_tpu.eval.visualize import plot_grad_flow
+
+                    plot_grad_flow([aux["grads"]], os.path.join(
+                        args.output_dir, "gradients",
+                        "epoch%.3d_iter%.6d.jpg" % (epoch, it)))
             if ep_losses and it % args.log_schedule == 0:
                 log(f"Epoch: {epoch} [{it + 1}/{len(order)}]\tLoss: {ep_losses[-1]:.5f}")
         if batch_buf:

@@ -113,13 +113,17 @@ def init_batch_stats(cfg: ModelConfig, dtype=jnp.float32):
 
 # ----------------------------------------------------------- message ops ----
 def _node_support(h, g: GraphView, msg_type: str):
-    """node_adj_norm @ h without the matrix: per edge row, h[past] (-/|) h[fut]."""
-    e = g.edge_mask()[:, None]
-    h_p = h[g.past]
-    h_f = h[g.fut]
+    """node_adj_norm @ h without the matrix: per edge row, h[past] (-/|) h[fut].
+
+    'diff' mode routes through the differentiable gather-diff dispatch whose
+    Pallas kernel (TM_PALLAS=1) keeps h VMEM-resident; its backward is the
+    signed scatter kernel (the two are mutual transposes)."""
     if msg_type == "concat":
-        return jnp.where(e, jnp.concatenate([h_p, h_f], axis=-1), 0.0)
-    return jnp.where(e, h_p - h_f, 0.0)
+        e = g.edge_mask()[:, None]
+        return jnp.where(e, jnp.concatenate([h[g.past], h[g.fut]], axis=-1), 0.0)
+    from trackmpnn_tpu.ops.pallas_mp import gather_diff
+
+    return gather_diff(h, g.past, g.fut, g.edge_mask())
 
 
 def _edge_support(h, g: GraphView):

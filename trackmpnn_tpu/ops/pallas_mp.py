@@ -173,6 +173,87 @@ def signed_segment_sum_pallas(h, past, fut, edge_mask, n, *, interpret=False,
     )(idx, h)
 
 
+# ----------------------------------------------------- gather-diff kernel ----
+def gather_diff_reference(h, past, fut, edge_mask):
+    """node_support: per edge row, h[past] - h[fut]; zero elsewhere."""
+    return jnp.where(edge_mask[:, None], h[past] - h[fut], 0.0)
+
+
+def _gather_diff_kernel(idx_ref, h_ref, out_ref):
+    """Per-row dynamic-slice gather (the pattern this Mosaic compiles,
+    unlike vectorized jnp.take): out[k] = (h[past_k] - h[fut_k]) * edge_k."""
+    tile = idx_ref.shape[0]
+
+    def body(k, _):
+        p = idx_ref[k, 0]
+        f = idx_ref[k, 1]
+        e = idx_ref[k, 2]
+
+        @pl.when(e == 1)
+        def _():
+            out_ref[pl.ds(k, 1), :] = (
+                h_ref[pl.ds(p, 1), :] - h_ref[pl.ds(f, 1), :]
+            )
+
+        @pl.when(e != 1)
+        def _():
+            out_ref[pl.ds(k, 1), :] = jnp.zeros((1, out_ref.shape[1]),
+                                                out_ref.dtype)
+
+        return 0
+
+    jax.lax.fori_loop(0, tile, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def gather_diff_pallas(h, past, fut, edge_mask, *, interpret=False, tile=512):
+    N, H = h.shape
+    while N % tile != 0:
+        tile //= 2
+    idx = jnp.stack([past.astype(jnp.int32), fut.astype(jnp.int32),
+                     edge_mask.astype(jnp.int32)], axis=1)
+    return pl.pallas_call(
+        _gather_diff_kernel,
+        out_shape=jax.ShapeDtypeStruct((N, H), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(N // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # full h resident
+            ],
+            out_specs=pl.BlockSpec((tile, H), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(idx, h)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def gather_diff(h, past, fut, edge_mask):
+    """Differentiable node_support; Pallas per-row gather under TM_PALLAS=1.
+    Its transpose is the signed scatter - the two kernels are each other's
+    backward."""
+    if _want_pallas():
+        return gather_diff_pallas(h, past, fut, edge_mask)
+    return gather_diff_reference(h, past, fut, edge_mask)
+
+
+def _gd_fwd(h, past, fut, edge_mask):
+    return gather_diff(h, past, fut, edge_mask), (past, fut, edge_mask, h.shape[0])
+
+
+def _gd_bwd(res, g):
+    past, fut, edge_mask, n = res
+    if _want_pallas():
+        gh = signed_segment_sum_pallas(g, past, fut, edge_mask, n)
+    else:
+        gh = signed_segment_sum_reference(g, past, fut, edge_mask, n)
+    return gh, None, None, None
+
+
+gather_diff.defvjp(_gd_fwd, _gd_bwd)
+
+
 # ----------------------------------------------- differentiable dispatch ----
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def signed_segment_sum(h, past, fut, edge_mask, n):
@@ -191,7 +272,10 @@ def _sss_fwd(h, past, fut, edge_mask, n):
 
 def _sss_bwd(n, res, g):
     past, fut, edge_mask = res
-    gh = jnp.where(edge_mask[:, None], g[past] - g[fut], 0.0)
+    if _want_pallas():
+        gh = gather_diff_pallas(g, past, fut, edge_mask)
+    else:
+        gh = gather_diff_reference(g, past, fut, edge_mask)
     return gh, None, None, None
 
 

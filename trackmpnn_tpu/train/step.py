@@ -96,8 +96,12 @@ def window_forward(params, batch_stats, cfg: mpnn.ModelConfig, sb: ScheduleBatch
     return total, aux
 
 
-def make_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool):
-    """Build the jit'd (params, batch_stats, opt_state, schedule) -> update fn."""
+def make_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool,
+                    return_grads: bool = False):
+    """Build the jit'd (params, batch_stats, opt_state, schedule) -> update fn.
+
+    return_grads=True also returns the gradient pytree in the aux dict
+    (for gradient-flow plots, ref train.py:140-145 / utils/gradients.py)."""
 
     def loss_fn(params, batch_stats, sb):
         return window_forward(params, batch_stats, cfg, sb, tp_classifier, train=True)
@@ -107,9 +111,12 @@ def make_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch_stats, sb)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        return params, aux["batch_stats"], opt_state, loss, {
+        out_aux = {
             k: aux[k] for k in ("loss_ce", "loss_f", "tp", "fp", "fn", "step_valid")
         }
+        if return_grads:
+            out_aux["grads"] = grads
+        return params, aux["batch_stats"], opt_state, loss, out_aux
 
     return step
 
