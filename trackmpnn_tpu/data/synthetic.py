@@ -78,6 +78,56 @@ def make_sequence(
     return features, bbox_pred, bbox_gt
 
 
+CAT_NAMES = {1: "Pedestrian", 2: "Car", 3: "Cyclist"}
+
+
+def write_kitti_tree(
+    root: str,
+    num_seqs: int = 21,
+    num_frames: int = 30,
+    num_tracks: int = 6,
+    split_dir: str = "training",
+    detections: str = "rrc",
+    seed: int = 0,
+    **seq_kwargs,
+):
+    """Render synthetic sequences into a KITTI MOT file tree (image
+    placeholders for frame counting, per-frame detection CSVs, 17-column
+    label files) so the full dataset pipeline - parsing, IoU track-id
+    assignment, chunking - runs end-to-end without real data."""
+    import os
+
+    for s in range(num_seqs):
+        seq = "%04d" % s
+        imdir = os.path.join(root, split_dir, "image_02", seq)
+        detdir = os.path.join(root, split_dir, f"{detections}_detections", seq)
+        os.makedirs(imdir, exist_ok=True)
+        os.makedirs(detdir, exist_ok=True)
+        _, bbox_pred, bbox_gt = make_sequence(
+            num_tracks=num_tracks, num_frames=num_frames, seed=seed + s,
+            **seq_kwargs,
+        )
+        label_lines = []
+        for fr in range(num_frames):
+            open(os.path.join(imdir, "%.6d.png" % fr), "ab").close()
+            with open(os.path.join(detdir, "%.4d.txt" % fr), "w") as f:
+                for b in bbox_pred[bbox_pred[:, 0] == fr]:
+                    name = CAT_NAMES[int(b[2])]
+                    f.write(f"{name},{b[4]:.2f},{b[5]:.2f},{b[6]:.2f},"
+                            f"{b[7]:.2f},{b[15]:.3f}\n")
+            for b in bbox_gt[bbox_gt[:, 0] == fr]:
+                name = CAT_NAMES[int(b[2])]
+                label_lines.append(
+                    f"{fr} {int(b[1])} {name} 0 0 {b[3]:.2f} {b[4]:.2f} "
+                    f"{b[5]:.2f} {b[6]:.2f} {b[7]:.2f} 1.5 1.6 3.7 1.0 1.0 "
+                    f"10.0 0.1"
+                )
+        labdir = os.path.join(root, split_dir, "label_02")
+        os.makedirs(labdir, exist_ok=True)
+        with open(os.path.join(labdir, seq + ".txt"), "w") as f:
+            f.write("\n".join(label_lines) + "\n")
+
+
 def features_2d(bbox_pred: np.ndarray, ncategories: int) -> np.ndarray:
     """2d-branch features: one-hot category + [score, xc, yc, w, h], standardized."""
     n = bbox_pred.shape[0]
