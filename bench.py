@@ -96,44 +96,49 @@ def live_edges_per_window(ws) -> int:
 
 
 def bench_ours(schedules, cap, t_cap):
+    """Packed block-diagonal batching (train/packed.py): the B windows merge
+    into one graph so every matmul is a plain 2D MXU shape - measured ~8%
+    faster than the vmapped path (which lowers batched matmuls to
+    layout-transposing convolutions)."""
     import jax
     import jax.numpy as jnp
     from trackmpnn_tpu.models import mpnn
-    from trackmpnn_tpu.parallel.data_parallel import batch_schedules
     from trackmpnn_tpu.graph.view import GraphView
+    from trackmpnn_tpu.train.packed import pack_schedules
 
     cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=64)
     params = mpnn.init_params(jax.random.key(0), cfg)
     stats = mpnn.init_batch_stats(cfg)
-    sbatch = batch_schedules(schedules, cap, t_cap)
-    idx = jnp.arange(cap, dtype=jnp.int32)
+    pb = pack_schedules(schedules, cap, t_cap)
+    n = pb.is_det.shape[0]
+    within = jnp.arange(n, dtype=jnp.int32) % cap
 
-    def window_mp(params, sb):
-        """Model-only window: forward every step, sum masked logits."""
-        h0 = jnp.zeros((cap, len(cfg.branches) * cfg.nhidden), jnp.float32)
+    def packed_mp(params, pb):
+        """Model-only packed window: forward every step, sum masked logits."""
+        h0 = jnp.zeros((n, len(cfg.branches) * cfg.nhidden), jnp.float32)
 
         def step(h, s):
-            live = (idx < sb.n_after[s]) & sb.step_valid[s]
-            new = (idx >= sb.n_before[s]) & live
-            g = GraphView(is_det=sb.is_det, past=sb.past, fut=sb.fut,
-                          live=live, new=new, feat=sb.feat)
+            n_a = pb.n_after[s][pb.window]
+            n_b = pb.n_before[s][pb.window]
+            valid = pb.step_valid[s][pb.window]
+            live = (within < n_a) & valid
+            new = (within >= n_b) & live
+            g = GraphView(is_det=pb.is_det, past=pb.past, fut=pb.fut,
+                          live=live, new=new, feat=pb.feat)
             out, _ = mpnn.forward(params, stats, cfg, g, h, train=False)
-            h = jnp.where(sb.step_valid[s], out.hidden, h)
+            h = jnp.where(valid[:, None], out.hidden, h)
             return h, jnp.sum(jnp.where(live, out.logits, 0.0))
 
         _, ys = jax.lax.scan(step, h0, jnp.arange(t_cap))
         return jnp.sum(ys)
 
-    def batched_loss(params, sbatch):
-        return jnp.mean(jax.vmap(lambda sb: window_mp(params, sb))(sbatch))
-
-    g = jax.jit(jax.grad(batched_loss))
+    g = jax.jit(jax.grad(packed_mp))
     # warmup/compile
-    r = g(params, sbatch)
+    r = g(params, pb)
     jax.block_until_ready(r)
     t0 = time.perf_counter()
     for _ in range(REPEATS):
-        r = g(params, sbatch)
+        r = g(params, pb)
     jax.block_until_ready(r)
     dt = (time.perf_counter() - t0) / REPEATS
     return dt
