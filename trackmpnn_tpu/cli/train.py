@@ -222,10 +222,17 @@ def main(argv: Optional[List[str]] = None):
     mesh_axes = _parse_mesh(args.mesh)
     batch_windows = max(args.batch_windows, 1)
     use_batched = batch_windows > 1 or mesh_axes is not None
-    if use_batched:
+    use_packed = use_batched and mesh_axes is None
+    if use_packed:
+        # single-device batching: packed block-diagonal graphs (faster than
+        # vmapping - no batched-matmul layout transposes; see train/packed.py)
+        from trackmpnn_tpu.train.packed import make_packed_train_step, pack_schedules
+
+        step = make_packed_train_step(cfg, tx, args.tp_classifier)
+        log(f"packed batched training: {batch_windows} windows/step")
+    elif use_batched:
         from trackmpnn_tpu.parallel import batch_schedules, make_mesh, make_sharded_train_step
 
-        mesh_axes = mesh_axes or {"data": 1}
         if "data" not in mesh_axes:
             raise ValueError("--mesh must include a 'data' axis")
         if batch_windows % mesh_axes["data"] != 0:
@@ -290,7 +297,10 @@ def main(argv: Optional[List[str]] = None):
                 if len(ws.is_det) != cap or len(ws.n_before) != t_cap:
                     ws = _build_sched(feats_b, bbox_b, cap=cap, t_cap=t_cap)
                 scheds.append(ws)
-            sbatch = batch_schedules(scheds, cap, t_cap)
+            if use_packed:
+                sbatch = pack_schedules(scheds, cap, t_cap)
+            else:
+                sbatch = batch_schedules(scheds, cap, t_cap)
             params, stats, opt_state, loss, aux = step(params, stats, opt_state, sbatch)
             record(loss, aux)
 
