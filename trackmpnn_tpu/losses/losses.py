@@ -19,11 +19,13 @@ inside the jit'd scan:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from trackmpnn_tpu.ops import (
     segment_argmax,
     segment_logsumexp,
+    segment_max,
     segment_sum,
 )
 
@@ -102,10 +104,69 @@ def f1_counts(scores, targets, is_det, live, tp_classifier: bool):
     return tp, fp, fn
 
 
+def targets_and_ce(logits, label, is_det, past, fut, live):
+    """make_targets + ce_loss fused with batched reductions.
+
+    Semantically identical to the pair above (tests pin both), but the
+    per-side reductions run on doubled rows (segment ids [fut; past]) so the
+    whole step costs 5 scatters instead of ~14 - scalar scatters are the
+    dominant cost of the real training step on TPU (see CLAUDE.md).  The
+    tie-break directions differ per side (past: latest; future: earliest),
+    handled by negating row indices on the future half.
+    """
+    n = logits.shape[0]
+    n2 = 2 * n
+    idx = jnp.arange(n, dtype=jnp.int32)
+    edge_live = live & ~is_det
+    det_live = live & is_det
+    # doubled rows: first half = past-side sets (bucket = fut, d in [0,n));
+    # second half = future-side sets (bucket = past + n, in [n,2n))
+    seg2 = jnp.concatenate([fut, past + n])
+    mask2 = jnp.concatenate([edge_live, edge_live])
+    # signed index: +idx on the past half (max -> latest), -idx on the future
+    # half (max of -idx -> earliest)
+    sidx = jnp.concatenate([idx, -idx]).astype(jnp.float32)
+
+    clip2 = jnp.clip(seg2, 0, n2 - 1)
+
+    # ---- phase 1 (scatter #1): label-positive selections (for targets)
+    pos = label == 1
+    pos2 = mask2 & jnp.concatenate([pos, pos])
+    m1 = segment_max(jnp.where(pos2, sidx, -1e30), seg2, n2, mask=mask2)
+    win1 = (sidx == m1[clip2]) & pos2
+    edge_t = (win1[:n] | win1[n:]) & edge_live
+    targets = jnp.where(live, jnp.where(is_det, pos & is_det, edge_t), False)
+    targets = targets.astype(jnp.int32)
+
+    # ---- phase 2 (scatters #2, #3): lane-combined max + sum reductions
+    tpos2 = mask2 & jnp.concatenate([targets == 1, targets == 1])
+    logits2 = jnp.concatenate([logits, logits])
+    maxes = segment_max(
+        jnp.stack([jnp.where(tpos2, sidx, -1e30), logits2], 1),
+        seg2, n2, mask=mask2,
+    )
+    sel_m = maxes[:, 0]
+    # the logsumexp shift is gradient-free by shift invariance
+    safe_m = jax.lax.stop_gradient(jnp.where(maxes[:, 1] > -1e29, maxes[:, 1], 0.0))
+    shifted = jnp.exp(logits2 - safe_m[clip2])
+    sums = segment_sum(jnp.stack([jnp.ones_like(logits2), shifted], 1),
+                       seg2, n2, mask=mask2)
+    size, expsum = sums[:, 0], sums[:, 1]
+    lse = safe_m + jnp.log(jnp.maximum(expsum, 1e-30))
+
+    # per-ROW cross entropy: exactly one winner row per nonempty positive
+    # set, so sum_d (lse_d - logit_sel)/|set|  ==  sum_rows win2*(...)
+    win2 = (jnp.where(tpos2, sidx, -1e30) == sel_m[clip2]) & tpos2
+    dl2 = jnp.concatenate([det_live, det_live])
+    counted = win2 & dl2[clip2] & (size[clip2] > 0)
+    per_row = jnp.where(counted, (lse[clip2] - logits2) /
+                        jnp.maximum(size[clip2], 1.0), 0.0)
+    return targets, jnp.sum(per_row)
+
+
 def step_losses(out_scores, out_logits, label, is_det, past, fut, live, tp_classifier: bool):
     """One step's (loss_ce, loss_focal, f1 counts) as in ref train.py:70-88."""
-    targets = make_targets(label, is_det, past, fut, live)
-    l_ce = ce_loss(out_logits, targets, is_det, past, fut, live)
+    targets, l_ce = targets_and_ce(out_logits, label, is_det, past, fut, live)
     edge_mask = live & ~is_det
     node_mask = live & is_det
     if tp_classifier:

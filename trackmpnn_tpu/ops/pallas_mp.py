@@ -115,7 +115,9 @@ def fused_edge_gru(h, past, fut, edge_mask, w_ih, w_hh, b_ih, b_hh,
 # --------------------------------------------- signed segment sum kernel ----
 def signed_segment_sum_reference(h, past, fut, edge_mask, n):
     """edge_support: det row d accumulates +h[e] over past(e)=d and -h[e]
-    over fut(e)=d (the jnp fallback used by the model)."""
+    over fut(e)=d (the jnp fallback used by the model).  Two n-row scatters:
+    XLA's TPU scatter serializes per update row, so a doubled-row variant
+    with the same total updates measures strictly worse."""
     from trackmpnn_tpu.ops import segment_sum
 
     pos = segment_sum(h, past, n, mask=edge_mask)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from trackmpnn_tpu.graph.view import GraphView
-from trackmpnn_tpu.losses.losses import EPS, ce_loss, f1_counts, make_targets
+from trackmpnn_tpu.losses.losses import EPS, f1_counts, targets_and_ce
 from trackmpnn_tpu.models import mpnn
 from trackmpnn_tpu.ops import segment_sum
 
@@ -77,24 +77,87 @@ def pack_schedules(schedules: List, cap: int, t_cap: int) -> PackedBatch:
 
 
 def _per_window_bce(probs, targets, mask, window, n_windows):
-    """Per-window mean BCE (reference eps placement), then sum of means."""
+    """Per-window mean BCE (reference eps placement), then sum of means.
+    Windows are contiguous slot blocks, so the per-window reduction is a
+    reshape-sum - no scatter."""
     pt = jnp.where(targets == 1, probs, 1.0 - probs)
     lp = jnp.log(pt + EPS)
-    ones = jnp.ones_like(lp)
-    s = segment_sum(jnp.where(mask, lp, 0.0), window, n_windows)
-    c = segment_sum(jnp.where(mask, ones, 0.0), window, n_windows)
+    s = jnp.sum(jnp.where(mask, lp, 0.0).reshape(n_windows, -1), axis=1)
+    c = jnp.sum(mask.reshape(n_windows, -1), axis=1)
     return -jnp.sum(s / jnp.maximum(c, 1.0))
+
+
+def _forward_fused_round(params, batch_stats, cfg, pb: PackedBatch, live, new,
+                         h, train):
+    """mpnn.forward semantics with the message-passing round executed by the
+    fused Pallas kernels (ops/pallas_round.py; 'diff', no GAT).  Input
+    injection, BatchNorm, and output heads stay XLA."""
+    from trackmpnn_tpu.models import nn
+    from trackmpnn_tpu.ops import pallas_round as PR
+
+    cap, B = pb.cap, pb.n_windows
+    n = cap * B
+    H = cfg.nhidden
+    nb = len(cfg.branches)
+    new_det = new & pb.is_det
+    has_new = jnp.any(new)
+    within = jnp.arange(n, dtype=jnp.int32) % cap
+    edge_live = live & ~pb.is_det
+    det_live = live & pb.is_det
+    idxw = jnp.stack([
+        (pb.past - (jnp.arange(n, dtype=jnp.int32) - within)),  # window-local
+        (pb.fut - (jnp.arange(n, dtype=jnp.int32) - within)),
+        edge_live.astype(jnp.int32), det_live.astype(jnp.int32),
+    ], axis=1).reshape(B, cap, 4)
+
+    outs, stats_out = [], []
+    off = 0
+    for bi, (_, width) in enumerate(cfg.branches):
+        bp = params["branches"][bi]
+        bs = batch_stats["branches"][bi]["bn"]
+        x = pb.feat[:, off: off + width]
+        off += width
+        xt, bn_stats = nn.input_transform(bp["input"], bs, x, new, train=train)
+        bn_stats = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(has_new, a, b), bn_stats, bs)
+        stats_out.append({"bn": bn_stats})
+        h_b = h[:, bi * H:(bi + 1) * H]
+        h_b = jnp.where(new_det[:, None], xt, jnp.where(new[:, None], 0.0, h_b))
+        h_b = jnp.where(live[:, None], h_b, 0.0)
+        tile = 512
+        while cap % tile != 0:
+            tile //= 2
+        out_b = PR.fused_round(h_b.reshape(B, cap, H), idxw,
+                               bp["edge_gru"], bp["node_gru"], None, tile)
+        outs.append(out_b.reshape(n, H))
+
+    h_out = jnp.concatenate(outs, axis=-1)
+    y_node = nn.linear(params["out_node"], h_out)[:, 0]
+    y_edge = nn.linear(params["out_edge"], h_out)[:, 0]
+    logits = jnp.where(pb.is_det, y_node, y_edge)
+    logits = jnp.where(live, logits, 0.0)
+    out = mpnn.ModelOutput(
+        scores=jnp.where(live, jax.nn.sigmoid(logits), 0.0),
+        logits=logits, hidden=h_out, attention=None,
+    )
+    return out, {"branches": stats_out}
 
 
 def packed_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                           pb: PackedBatch, tp_classifier: bool,
-                          train: bool = True):
-    """Scan the packed batch; returns (mean-per-window loss, aux)."""
+                          train: bool = True, fused_round: bool = False):
+    """Scan the packed batch; returns (mean-per-window loss, aux).
+
+    fused_round=True routes the message-passing round through the Pallas
+    kernel pipeline (requires msg 'diff', no GAT; see ops/pallas_round.py).
+    """
     cap, B = pb.cap, pb.n_windows
     n = cap * B
     nb = len(cfg.branches)
     within = jnp.arange(n, dtype=jnp.int32) % cap  # slot index inside window
     h0 = jnp.zeros((n, nb * cfg.nhidden), jnp.float32)
+    if fused_round and (cfg.msg_type != "diff" or cfg.nattheads > 0):
+        raise ValueError("fused round supports msg 'diff' without GAT heads")
 
     def step(carry, s):
         h, stats = carry
@@ -104,12 +167,16 @@ def packed_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         any_valid = jnp.any(pb.step_valid[s])
         live = (within < n_a) & valid
         new = (within >= n_b) & live
-        g = GraphView(is_det=pb.is_det, past=pb.past, fut=pb.fut,
-                      live=live, new=new, feat=pb.feat)
-        out, stats_new = mpnn.forward(params, stats, cfg, g, h, train=train)
+        if fused_round:
+            out, stats_new = _forward_fused_round(
+                params, stats, cfg, pb, live, new, h, train)
+        else:
+            g = GraphView(is_det=pb.is_det, past=pb.past, fut=pb.fut,
+                          live=live, new=new, feat=pb.feat)
+            out, stats_new = mpnn.forward(params, stats, cfg, g, h, train=train)
 
-        targets = make_targets(pb.label, pb.is_det, pb.past, pb.fut, live)
-        l_ce = ce_loss(out.logits, targets, pb.is_det, pb.past, pb.fut, live)
+        targets, l_ce = targets_and_ce(out.logits, pb.label, pb.is_det,
+                                       pb.past, pb.fut, live)
         edge_mask = live & ~pb.is_det
         node_mask = live & pb.is_det
         if tp_classifier:
