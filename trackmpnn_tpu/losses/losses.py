@@ -128,39 +128,44 @@ def targets_and_ce(logits, label, is_det, past, fut, live):
     sidx = jnp.concatenate([idx, -idx]).astype(jnp.float32)
 
     clip2 = jnp.clip(seg2, 0, n2 - 1)
+    logits2 = jnp.concatenate([logits, logits])
 
-    # ---- phase 1 (scatter #1): label-positive selections (for targets)
+    # TPU scatter AND gather by arbitrary index serialize per row
+    # (CLAUDE.md profile: ~0.6ms per 65k-row op), so this function is
+    # organized around a minimal count of them: 3 scatters + 2 lane-packed
+    # row gathers.  The logsumexp shift uses a GLOBAL stop-grad max (a fast
+    # full reduction) instead of per-bucket maxes, saving a scatter and a
+    # gather at identical math (shift invariance).
+
+    # ---- scatter #1: label-positive selections (for targets)
     pos = label == 1
     pos2 = mask2 & jnp.concatenate([pos, pos])
     m1 = segment_max(jnp.where(pos2, sidx, -1e30), seg2, n2, mask=mask2)
-    win1 = (sidx == m1[clip2]) & pos2
+    win1 = (sidx == m1[clip2]) & pos2                       # gather #1
     edge_t = (win1[:n] | win1[n:]) & edge_live
     targets = jnp.where(live, jnp.where(is_det, pos & is_det, edge_t), False)
     targets = targets.astype(jnp.int32)
 
-    # ---- phase 2 (scatters #2, #3): lane-combined max + sum reductions
+    # ---- scatters #2 + #3: target selection max; [count, exp] sums
     tpos2 = mask2 & jnp.concatenate([targets == 1, targets == 1])
-    logits2 = jnp.concatenate([logits, logits])
-    maxes = segment_max(
-        jnp.stack([jnp.where(tpos2, sidx, -1e30), logits2], 1),
-        seg2, n2, mask=mask2,
-    )
-    sel_m = maxes[:, 0]
-    # the logsumexp shift is gradient-free by shift invariance
-    safe_m = jax.lax.stop_gradient(jnp.where(maxes[:, 1] > -1e29, maxes[:, 1], 0.0))
-    shifted = jnp.exp(logits2 - safe_m[clip2])
+    sel_m = segment_max(jnp.where(tpos2, sidx, -1e30), seg2, n2, mask=mask2)
+    gmax = jax.lax.stop_gradient(
+        jnp.max(jnp.where(mask2, logits2, -jnp.inf), initial=0.0))
+    shifted = jnp.exp(logits2 - gmax)
     sums = segment_sum(jnp.stack([jnp.ones_like(logits2), shifted], 1),
                        seg2, n2, mask=mask2)
-    size, expsum = sums[:, 0], sums[:, 1]
-    lse = safe_m + jnp.log(jnp.maximum(expsum, 1e-30))
+    dl2 = jnp.concatenate([det_live, det_live])
+    bucket = jnp.stack([sel_m, sums[:, 0], sums[:, 1],
+                        dl2.astype(jnp.float32)], axis=1)
+    rowb = bucket[clip2]                                    # gather #2 (packed)
+    row_sel, size, expsum, row_dl = rowb[:, 0], rowb[:, 1], rowb[:, 2], rowb[:, 3]
+    lse = gmax + jnp.log(jnp.maximum(expsum, 1e-30))
 
     # per-ROW cross entropy: exactly one winner row per nonempty positive
     # set, so sum_d (lse_d - logit_sel)/|set|  ==  sum_rows win2*(...)
-    win2 = (jnp.where(tpos2, sidx, -1e30) == sel_m[clip2]) & tpos2
-    dl2 = jnp.concatenate([det_live, det_live])
-    counted = win2 & dl2[clip2] & (size[clip2] > 0)
-    per_row = jnp.where(counted, (lse[clip2] - logits2) /
-                        jnp.maximum(size[clip2], 1.0), 0.0)
+    win2 = (jnp.where(tpos2, sidx, -1e30) == row_sel) & tpos2
+    counted = win2 & (row_dl > 0) & (size > 0)
+    per_row = jnp.where(counted, (lse - logits2) / jnp.maximum(size, 1.0), 0.0)
     return targets, jnp.sum(per_row)
 
 
