@@ -25,6 +25,24 @@ from trackmpnn_tpu.graph import engine
 
 
 @dataclass
+class BipartiteBlock:
+    """One step's complete-bipartite edge block (ref graph.py:281 semantics).
+
+    Edge rows [edge_base, edge_base + na*nt) are laid out i*nt + j with
+    past endpoint active_rows[i] and future endpoint det_base + j.  This
+    regular structure is the key to scatter-free reductions: per-block
+    edge aggregates are dense [na, nt, H] row/col sums touching only `na`
+    scattered rows and one contiguous det span (see CLAUDE.md round-2 perf
+    plan)."""
+
+    edge_base: int
+    na: int
+    nt: int
+    det_base: int
+    active_rows: np.ndarray  # int32[na] past-endpoint row ids
+
+
+@dataclass
 class WindowSchedule:
     """Padded, device-ready description of one training window (chunk)."""
 
@@ -41,6 +59,8 @@ class WindowSchedule:
     n_rows: int
     n_steps: int
     n_edges: int  # total live edge rows (for edges/s accounting)
+    # per-step bipartite block descriptors (None entry = step added no rows)
+    blocks: list = None
 
 
 def _round_up(x: int, multiple: int) -> int:
@@ -101,8 +121,30 @@ def build_window_schedule(
     for s, (b, a) in enumerate(counts):
         n_before[s], n_after[s], step_valid[s] = b, a, True
 
+    blocks = [_derive_block(is_det, past, b, a) for (b, a) in counts]
+
     return WindowSchedule(
         is_det=is_det, past=past, fut=fut, label=label, feat=feat,
         n_before=n_before, n_after=n_after, step_valid=step_valid,
-        n_rows=n, n_steps=n_steps, n_edges=int(len(er)),
+        n_rows=n, n_steps=n_steps, n_edges=int(len(er)), blocks=blocks,
     )
+
+
+def _derive_block(is_det, past, b: int, a: int) -> Optional[BipartiteBlock]:
+    """Recover the step's complete-bipartite block from the slot layout.
+
+    Rows [b, a) are [optional dets | edges (i*nt + j) | new-frame dets]
+    (init step carries the t0 dets in front; updates start with edges)."""
+    span = np.arange(b, a)
+    er = span[~is_det[b:a]]
+    if er.size == 0:
+        return None
+    edge_base = int(er[0])
+    det_base = int(er[-1]) + 1
+    nt = a - det_base
+    if nt <= 0 or er.size % nt != 0:
+        return None
+    na = er.size // nt
+    active = past[edge_base + np.arange(na) * nt].astype(np.int32)
+    return BipartiteBlock(edge_base=edge_base, na=na, nt=nt,
+                          det_base=det_base, active_rows=active)

@@ -108,11 +108,12 @@ def targets_and_ce(logits, label, is_det, past, fut, live):
     """make_targets + ce_loss fused with batched reductions.
 
     Semantically identical to the pair above (tests pin both), but the
-    per-side reductions run on doubled rows (segment ids [fut; past]) so the
-    whole step costs 5 scatters instead of ~14 - scalar scatters are the
-    dominant cost of the real training step on TPU (see CLAUDE.md).  The
-    tie-break directions differ per side (past: latest; future: earliest),
-    handled by negating row indices on the future half.
+    per-side reductions run on doubled rows (segment domains [fut; past+n])
+    so the whole step costs 3 scatters + 2 lane-packed gathers instead of
+    ~14 serialized ops - arbitrary-index scatter AND gather both serialize
+    per row on TPU and dominate the real training step (see CLAUDE.md).
+    The tie-break directions differ per side (past: latest; future:
+    earliest), handled by negating row indices on the future half.
     """
     n = logits.shape[0]
     n2 = 2 * n
