@@ -24,7 +24,6 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from trackmpnn_tpu.backbones import layers as L
 

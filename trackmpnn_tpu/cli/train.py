@@ -13,7 +13,6 @@ Run: python -m trackmpnn_tpu.cli.train --dataset kitti ...
 from __future__ import annotations
 
 import os
-import sys
 import time
 from typing import List, Optional
 

@@ -11,10 +11,8 @@ The trainer owns backbone params/optimizers; datasets only call it.
 
 from __future__ import annotations
 
-import os
 import random
-from dataclasses import dataclass
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

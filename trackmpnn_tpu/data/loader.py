@@ -10,10 +10,8 @@ step overlaps with the next chunks' host work.
 
 from __future__ import annotations
 
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Iterable, Iterator, Sequence
+from typing import Callable, Iterator, Sequence
 
 
 class PrefetchLoader:

@@ -11,7 +11,7 @@ import glob
 import os
 import random
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -30,8 +30,8 @@ Semantics cross-references (reference file:line):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment

@@ -26,11 +26,10 @@ stay on the GSPMD path).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from trackmpnn_tpu.models import nn
 from trackmpnn_tpu.ops import segment_sum

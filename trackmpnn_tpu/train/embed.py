@@ -16,8 +16,7 @@ Adam(1.25e-4), down_ratio 4 (kitti_mot.py:119-126).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ import numpy as np
 from trackmpnn_tpu.graph.view import GraphView
 from trackmpnn_tpu.losses.losses import EPS, f1_counts, targets_and_ce
 from trackmpnn_tpu.models import mpnn
-from trackmpnn_tpu.ops import segment_sum
 
 
 class PackedBatch(NamedTuple):
