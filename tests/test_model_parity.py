@@ -124,8 +124,9 @@ def test_two_step_recurrence_parity(rng, features):
     _, o_logits2, o_h2 = oracle.forward(feat, o_h1, is_det, past, fut, live, new_mask, True)
 
     # tolerance allows XLA fusion-order variance across compilation contexts
-    np.testing.assert_allclose(np.asarray(out2.logits)[:new_n], o_logits2[:new_n], rtol=3e-4, atol=3e-5)
-    np.testing.assert_allclose(np.asarray(out2.hidden)[:new_n], o_h2[:new_n], rtol=3e-4, atol=3e-5)
+    # (two recurrent steps amplify reduction-order noise; values are O(1))
+    np.testing.assert_allclose(np.asarray(out2.logits)[:new_n], o_logits2[:new_n], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out2.hidden)[:new_n], o_h2[:new_n], rtol=1e-3, atol=1e-4)
 
 
 def test_gat_parity(rng):
