@@ -1,17 +1,21 @@
-"""Benchmark: message-passing edges/s/chip, ours (TPU, jit'd scan) vs the
-CPU PyTorch reference op pattern (per-step sparse-mm adjacency products,
-full-window BPTT) as in /root/reference/models/layers.py:84-116.
+"""Benchmark: message-passing edges/s/chip on the FULL training step, ours
+(TPU, block-structured jit'd scan + losses + Adam) vs the CPU PyTorch
+reference op pattern (per-step sparse-mm adjacency products, target
+derivation + per-detection CE + BCE, full-window BPTT, Adam) as in
+/root/reference/models/layers.py:84-116 and /root/reference/models/loss.py.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Both sides run the identical workload: B synthetic rolling windows, forward
-through every timestep with truncated-BPTT backward through the whole
-window.  Edges processed = sum over steps of live association rows (each
-step's message-passing round touches every live edge).  The TPU side is the
-framework's scanned window forward; the baseline re-times torch with the
-reference's op choices (torch.sparse.mm for adjacency, GRUCell, BatchNorm)
-on the same graphs, implemented independently in tests/torch_oracle.py
-spirit but with autograd enabled.
+through every timestep, the reference's losses each step, backward through
+the whole window, one optimizer step.  Edges processed = sum over steps of
+live association rows (each step's message-passing round touches every live
+edge).  The baseline is deliberately charitable to torch: adjacency sparse
+tensors are PREBUILT outside the timed loop (the reference rebuilds them on
+the CPU every step, graph.py:296-332), losses are vectorized scatter ops
+(the reference uses Python loops over incident sets, loss.py:18-43,91-114),
+and no CPU<->GPU copies are charged.  All B windows are timed (no
+extrapolation).
 
 If the TPU tunnel is unreachable (probed in a subprocess with a timeout),
 falls back to CPU so the driver always gets a JSON line.
@@ -96,57 +100,85 @@ def live_edges_per_window(ws) -> int:
 
 
 def bench_ours(schedules, cap, t_cap):
-    """Packed block-diagonal batching (train/packed.py): the B windows merge
-    into one graph so every matmul is a plain 2D MXU shape - measured ~8%
-    faster than the vmapped path (which lowers batched matmuls to
-    layout-transposing convolutions)."""
+    """The production train step (cli/train.py batched path): block-structured
+    dual-layout scan (train/block.py) with targets + CE + BCE each step,
+    full-window BPTT, and the Adam update - not a model-only forward."""
     import jax
-    import jax.numpy as jnp
     from trackmpnn_tpu.models import mpnn
-    from trackmpnn_tpu.graph.view import GraphView
-    from trackmpnn_tpu.train.packed import pack_schedules
+    from trackmpnn_tpu.train import optim
+    from trackmpnn_tpu.train.block import build_block_batch, make_block_train_step
 
     cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=64)
     params = mpnn.init_params(jax.random.key(0), cfg)
     stats = mpnn.init_batch_stats(cfg)
-    pb = pack_schedules(schedules, cap, t_cap)
-    n = pb.is_det.shape[0]
-    within = jnp.arange(n, dtype=jnp.int32) % cap
+    tx = optim.make_optimizer(1e-4, 5e-4)
+    opt_state = tx.init(params)
+    step = make_block_train_step(cfg, tx, tp_classifier=False)
+    bb = build_block_batch(schedules, t_cap)
 
-    def packed_mp(params, pb):
-        """Model-only packed window: forward every step, sum masked logits."""
-        h0 = jnp.zeros((n, len(cfg.branches) * cfg.nhidden), jnp.float32)
-
-        def step(h, s):
-            n_a = pb.n_after[s][pb.window]
-            n_b = pb.n_before[s][pb.window]
-            valid = pb.step_valid[s][pb.window]
-            live = (within < n_a) & valid
-            new = (within >= n_b) & live
-            g = GraphView(is_det=pb.is_det, past=pb.past, fut=pb.fut,
-                          live=live, new=new, feat=pb.feat)
-            out, _ = mpnn.forward(params, stats, cfg, g, h, train=False)
-            h = jnp.where(valid[:, None], out.hidden, h)
-            return h, jnp.sum(jnp.where(live, out.logits, 0.0))
-
-        _, ys = jax.lax.scan(step, h0, jnp.arange(t_cap))
-        return jnp.sum(ys)
-
-    g = jax.jit(jax.grad(packed_mp))
     # warmup/compile
-    r = g(params, pb)
-    jax.block_until_ready(r)
+    params, stats, opt_state, loss, _ = step(params, stats, opt_state, bb)
+    jax.block_until_ready(loss)
     t0 = time.perf_counter()
     for _ in range(REPEATS):
-        r = g(params, pb)
-    jax.block_until_ready(r)
+        params, stats, opt_state, loss, _ = step(params, stats, opt_state, bb)
+    jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / REPEATS
+    assert np.isfinite(float(loss)), "train step diverged"
     return dt
 
 
-def bench_torch(schedules, cap, t_cap, max_windows=2):
-    """Reference-pattern CPU torch: per-step sparse-mm message passing with
-    full-window BPTT, batch size 1 (the reference supports nothing else)."""
+def _torch_step_losses(torch, logits, label, is_det, past, fut):
+    """Reference loss semantics (loss.py:8-44, 77-115) on live rows, in
+    vectorized torch (stronger than the reference's Python loops)."""
+    n = logits.shape[0]
+    idx = torch.arange(n)
+    edge = ~is_det
+    eps = 1e-10
+
+    def side_sel(seg, cond, largest):
+        sel = torch.full((n,), -1, dtype=torch.long)
+        v = idx[cond]
+        if v.numel():
+            red = "amax" if largest else "amin"
+            init = torch.full((n,), -1 if largest else n + 1, dtype=torch.long)
+            sel = init.scatter_reduce(0, seg[cond], v, reduce=red, include_self=True)
+            sel = torch.where(sel > n, torch.full_like(sel, -1), sel)
+        return sel
+
+    pos = edge & (label == 1)
+    past_sel = side_sel(fut, pos, largest=True)    # latest positive into d
+    fut_sel = side_sel(past, pos, largest=False)   # earliest positive out of d
+    edge_t = (idx == past_sel[fut.clamp(0, n - 1)]) | (idx == fut_sel[past.clamp(0, n - 1)])
+    targets = torch.where(is_det, label == 1, edge_t & edge)
+
+    def ce_side(seg, largest):
+        size = torch.zeros(n).scatter_add(0, seg[edge], torch.ones(edge.sum()))
+        tpos = edge & targets
+        sel = side_sel(seg, tpos, largest=largest)
+        has = sel >= 0
+        m = torch.full((n,), -1e30).scatter_reduce(
+            0, seg[edge], logits[edge].detach(), reduce="amax", include_self=True)
+        safe_m = torch.where(has, m, torch.zeros_like(m))
+        e = torch.zeros(n).scatter_add(
+            0, seg[edge], torch.exp(logits[edge] - safe_m[seg[edge]]))
+        lse = safe_m + torch.log(e.clamp_min(1e-30))
+        per = torch.where(has & is_det,
+                          (lse - logits[sel.clamp(0, n - 1)]) / size.clamp_min(1.0),
+                          torch.zeros(n))
+        return per.sum()
+
+    l_ce = ce_side(fut, largest=True) + ce_side(past, largest=False)
+    probs = torch.sigmoid(logits)
+    pt = torch.where(targets, probs, 1.0 - probs)
+    l_f = -torch.log(pt[edge] + eps).mean() if edge.any() else logits.sum() * 0
+    return l_ce + l_f
+
+
+def bench_torch(schedules, cap, t_cap, max_windows=None):
+    """Reference-pattern CPU torch: per-step sparse-mm message passing, the
+    reference's losses each step, full-window BPTT + Adam, batch size 1 (the
+    reference supports nothing else).  Adjacencies prebuilt (charitable)."""
     import torch
 
     torch.set_num_threads(os.cpu_count() or 8)
@@ -159,19 +191,17 @@ def bench_torch(schedules, cap, t_cap, max_windows=2):
     node_gru = torch.nn.GRUCell(H, H)
     w_node = torch.nn.Linear(H, 1)
     w_edge = torch.nn.Linear(H, 1)
+    mods = [lin1, bn, lin2, edge_gru, node_gru, w_node, w_edge]
+    opt = torch.optim.Adam(
+        [p for m in mods for p in m.parameters()], lr=1e-4, weight_decay=5e-4)
 
-    def run_window(ws):
+    def prebuild(ws):
+        """Per-step sparse adjacencies + loss index tensors (NOT timed)."""
         n = ws.n_rows
-        feat = torch.tensor(ws.feat[:n])
-        is_det = torch.tensor(ws.is_det[:n])
-        # per-step sparse adjacencies (prebuilt outside timing would favor
-        # the baseline; the reference rebuilds each step on the CPU, so
-        # building here is still charitable - no CPU<->GPU copies charged)
-        h = None
-        total = None
+        plans = []
         for s in range(ws.n_steps):
-            nb, na = int(ws.n_before[s]), int(ws.n_after[s])
-            rows = np.arange(n) < na
+            na_rows = int(ws.n_after[s])
+            rows = np.arange(n) < na_rows
             er = np.where(~ws.is_det[:n] & rows)[0]
             src = np.concatenate([er, er])
             dst = np.concatenate([ws.past[er], ws.fut[er]])
@@ -182,11 +212,31 @@ def bench_torch(schedules, cap, t_cap, max_windows=2):
             edge_adj = torch.sparse_coo_tensor(
                 np.stack([dst, src]), torch.tensor(val, dtype=torch.float32), (n, n)
             ).coalesce()
-            x_new = feat[nb:na]
+            live = torch.tensor(rows)
+            plans.append((node_adj, edge_adj, live, na_rows))
+        sidx = np.arange(n)
+        fixed = (
+            torch.tensor(ws.feat[:n]),
+            torch.tensor(ws.is_det[:n]),
+            torch.tensor(ws.label[:n].astype(np.int64)),
+            torch.tensor(np.where(ws.past[:n] >= 0, ws.past[:n], sidx)),
+            torch.tensor(np.where(ws.fut[:n] >= 0, ws.fut[:n], sidx)),
+        )
+        return fixed, plans
+
+    def run_window(fixed, plans, ws):
+        feat, is_det, label, past, fut = fixed
+        n = feat.shape[0]
+        h = None
+        loss = None
+        for s in range(len(plans)):
+            node_adj, edge_adj, live, na_rows = plans[s]
+            nb = int(ws.n_before[s])
+            x_new = feat[nb:na_rows]
             if x_new.shape[0] > 0:
                 xt = lin2(torch.relu(bn(lin1(x_new))))
-                upd = torch.zeros((na - nb, H))
-                det_new = is_det[nb:na]
+                upd = torch.zeros((na_rows - nb, H))
+                det_new = is_det[nb:na_rows]
                 upd[det_new] = xt[det_new]
             else:
                 upd = torch.zeros((0, H))
@@ -197,21 +247,24 @@ def bench_torch(schedules, cap, t_cap, max_windows=2):
             es = torch.sparse.mm(edge_adj, hp)
             n_out = node_gru(es, hp)
             h_full = torch.where(is_det[:, None], n_out, e_out)
-            live = torch.tensor(rows)
             h_full = torch.where(live[:, None], h_full, torch.zeros(1))
             y = torch.where(is_det[:, None], w_node(h_full), w_edge(h_full))[:, 0]
-            step_sum = torch.sum(torch.where(live, y, torch.zeros(1)))
-            total = step_sum if total is None else total + step_sum
-            h = h_full[:na]
-        total.backward()
+            step_loss = _torch_step_losses(
+                torch, y[:na_rows], label[:na_rows], is_det[:na_rows],
+                past[:na_rows].clamp(0, na_rows - 1),
+                fut[:na_rows].clamp(0, na_rows - 1))
+            loss = step_loss if loss is None else loss + step_loss
+            h = h_full[:na_rows]
+        opt.zero_grad(set_to_none=True)
+        loss.backward()
+        opt.step()
 
-    # time a couple of windows, extrapolate per-edge
+    todo = schedules if max_windows is None else schedules[:max_windows]
+    prebuilt = [(prebuild(ws), ws) for ws in todo]
     t0 = time.perf_counter()
     edges = 0
-    for ws in schedules[:max_windows]:
-        for p in [lin1, bn, lin2, edge_gru, node_gru, w_node, w_edge]:
-            p.zero_grad(set_to_none=True)
-        run_window(ws)
+    for (fixed, plans), ws in prebuilt:
+        run_window(fixed, plans, ws)
         edges += live_edges_per_window(ws)
     dt = time.perf_counter() - t0
     return dt, edges
@@ -238,7 +291,7 @@ def main():
     base_eps = torch_edges / dt_torch
 
     print(json.dumps({
-        "metric": "mp_edges_per_sec_per_chip",
+        "metric": "train_step_edges_per_sec_per_chip",
         "value": round(ours_eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(ours_eps / base_eps, 2),

@@ -1,0 +1,144 @@
+"""Block-structured fast path == packed path (loss, aux, grads).
+
+The block step (train/block.py) re-derives the whole training computation
+in dual (compact-det, padded-rectangle-edge) layout; these tests pin it to
+packed_window_forward, which is itself pinned to the reference
+(tests/test_reference_parity.py), so agreement here transfers reference
+parity to the fast path."""
+
+import jax
+import numpy as np
+import pytest
+
+from trackmpnn_tpu.data.synthetic import make_sequence
+from trackmpnn_tpu.graph.schedule import build_window_schedule
+from trackmpnn_tpu.models import mpnn
+from trackmpnn_tpu.train import optim
+from trackmpnn_tpu.train.block import (
+    build_block_batch,
+    block_window_forward,
+    make_block_train_step,
+)
+from trackmpnn_tpu.train.packed import pack_schedules, packed_window_forward
+
+CAP, TCAP = 256, 10
+
+
+def build(n, seed0=0):
+    out, s = [], seed0
+    while len(out) < n:
+        feats, bp, _ = make_sequence(num_tracks=4, num_frames=5 + (s % 3),
+                                     seed=s, miss_rate=0.15, fp_rate=0.2)
+        ws = build_window_schedule(feats, bp[:, :2].astype(np.int64),
+                                   cap=CAP, t_cap=TCAP)
+        if ws is not None:
+            out.append(ws)
+        s += 1
+    return out
+
+
+def _model(msg_type="diff", seed=0):
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=16,
+                           msg_type=msg_type)
+    params = mpnn.init_params(jax.random.key(seed), cfg)
+    params = jax.tree_util.tree_map(
+        lambda l: l + 0.2 * jax.random.normal(jax.random.key(seed + 1), l.shape),
+        params)
+    stats = mpnn.init_batch_stats(cfg)
+    return cfg, params, stats
+
+
+def _assert_tree_close(a, b, rtol=1e-3, atol=3e-5):
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("msg_type", ["diff", "concat"])
+@pytest.mark.parametrize("tp_classifier", [True, False])
+def test_block_matches_packed(msg_type, tp_classifier):
+    cfg, params, stats = _model(msg_type)
+    schedules = build(4)
+    pb = pack_schedules(schedules, CAP, TCAP)
+    bb = build_block_batch(schedules, TCAP)
+
+    def run(fwd, batch):
+        def f(p):
+            loss, aux = fwd(p, stats, cfg, batch, tp_classifier)
+            return loss, aux
+        (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, aux, grads
+
+    lp, ap, gp = run(packed_window_forward, pb)
+    lb, ab, gb = run(block_window_forward, bb)
+
+    np.testing.assert_allclose(float(lb), float(lp), rtol=1e-4)
+    np.testing.assert_allclose(float(ab["loss_ce"]), float(ap["loss_ce"]), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(ab["loss_f"]), float(ap["loss_f"]), rtol=1e-4, atol=1e-6)
+    for k in ("tp", "fp", "fn"):
+        assert int(ab[k]) == int(ap[k]), k
+    _assert_tree_close(gb, gp)
+    _assert_tree_close(ab["batch_stats"], ap["batch_stats"])
+
+
+def test_block_matches_packed_eval_mode():
+    cfg, params, stats = _model()
+    schedules = build(3, seed0=40)
+    pb = pack_schedules(schedules, CAP, TCAP)
+    bb = build_block_batch(schedules, TCAP)
+    lp, ap = packed_window_forward(params, stats, cfg, pb, True, train=False)
+    lb, ab = block_window_forward(params, stats, cfg, bb, True, train=False)
+    np.testing.assert_allclose(float(lb), float(lp), rtol=1e-4)
+    for k in ("tp", "fp", "fn"):
+        assert int(ab[k]) == int(ap[k]), k
+
+
+def test_block_ragged_batch_with_ended_windows():
+    """Windows of different lengths: ended windows freeze their state and
+    contribute nothing to later steps (the any_valid/valid masking)."""
+    cfg, params, stats = _model(seed=7)
+    schedules = []
+    for frames in (4, 8):
+        s = 0
+        while True:
+            feats, bp, _ = make_sequence(num_tracks=3, num_frames=frames,
+                                         seed=200 + s, miss_rate=0.2, fp_rate=0.3)
+            ws = build_window_schedule(feats, bp[:, :2].astype(np.int64),
+                                       cap=CAP, t_cap=TCAP)
+            if ws is not None:
+                schedules.append(ws)
+                break
+            s += 1
+    assert schedules[0].n_steps != schedules[1].n_steps
+    pb = pack_schedules(schedules, CAP, TCAP)
+    bb = build_block_batch(schedules, TCAP)
+    lp, ap = packed_window_forward(params, stats, cfg, pb, False)
+    lb, ab = block_window_forward(params, stats, cfg, bb, False)
+    np.testing.assert_allclose(float(lb), float(lp), rtol=1e-4)
+    for k in ("tp", "fp", "fn"):
+        assert int(ab[k]) == int(ap[k]), k
+
+
+def test_block_train_step_converges():
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=16)
+    params = mpnn.init_params(jax.random.key(0), cfg)
+    stats = mpnn.init_batch_stats(cfg)
+    tx = optim.make_optimizer(3e-3)
+    opt = tx.init(params)
+    step = make_block_train_step(cfg, tx, True)
+    bb = build_block_batch(build(4), TCAP)
+    first = last = None
+    for _ in range(80):
+        params, stats, opt, loss, aux = step(params, stats, opt, bb)
+        first = first if first is not None else float(loss)
+        last = float(loss)
+    assert last < 0.5 * first, (first, last)
+
+
+def test_block_rejects_gat():
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=16, nattheads=2)
+    params = mpnn.init_params(jax.random.key(0), cfg)
+    stats = mpnn.init_batch_stats(cfg)
+    bb = build_block_batch(build(1), TCAP)
+    with pytest.raises(ValueError):
+        block_window_forward(params, stats, cfg, bb, True)

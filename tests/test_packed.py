@@ -81,3 +81,37 @@ def test_packed_train_step_converges():
         first = first if first is not None else float(loss)
         last = float(loss)
     assert last < 0.5 * first, (first, last)
+
+
+def test_gat_training_paths_need_and_accept_rng():
+    """Training with GAT heads uses attention dropout: the step must demand
+    an rng key (clear error) and run when given one - on the unbatched,
+    packed, and vmapped paths (regression: round-1 crashed with a cryptic
+    'unexpected PRNG key type NoneType')."""
+    from trackmpnn_tpu.train.step import make_train_step, schedule_to_device
+
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=16, nattheads=2)
+    params = mpnn.init_params(jax.random.key(0), cfg)
+    stats = mpnn.init_batch_stats(cfg)
+    tx = optim.make_optimizer(1e-3)
+    schedules = build(2)
+    key = jax.random.key(3)
+
+    with pytest.raises(ValueError, match="rng"):
+        packed_window_forward(params, stats, cfg,
+                              pack_schedules(schedules, CAP, TCAP), True)
+
+    step_p = make_packed_train_step(cfg, tx, True)
+    p2, s2, o2, loss, _ = step_p(params, stats, tx.init(params),
+                                 pack_schedules(schedules, CAP, TCAP), rng=key)
+    assert np.isfinite(float(loss))
+
+    step_1 = make_train_step(cfg, tx, True)
+    sb = schedule_to_device(schedules[0])
+    p3, s3, o3, loss1, _ = step_1(params, stats, tx.init(params), sb, rng=key)
+    assert np.isfinite(float(loss1))
+
+    lossb, _ = batched_window_forward(params, stats, cfg,
+                                      batch_schedules(schedules, CAP, TCAP),
+                                      True, rng=key)
+    assert np.isfinite(float(lossb))

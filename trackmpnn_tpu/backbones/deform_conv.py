@@ -13,8 +13,12 @@ CUDA does not exist on TPU; the TPU-native decomposition is:
 
 The im2col intermediate is K*K x input size; `jax.checkpoint` on the caller
 rematerializes it in backward instead of storing it (HBM relief).  A fully
-fused Pallas kernel that never materializes the columns in HBM is layered
-in kernels/ (same signature, parity-tested against this).
+fused Pallas kernel is deliberately NOT used: bilinear sampling is a
+vectorized dynamic gather, which this Mosaic toolchain does not lower
+(established in ops/pallas_mp.py; see CLAUDE.md), and the per-row
+dynamic-slice fallback would serialize ~Ho*Wo*K*K rows.  This XLA
+decomposition is the production kernel; see tests/test_deform_dla.py for
+its brute-force oracles and bench notes in docs/RESULTS.md.
 
 Convention matches torchvision/DCNv2: offset channels ordered
 (dy, dx) per tap, taps in row-major (kh, kw) order; sampling outside the

@@ -222,9 +222,19 @@ def main(argv: Optional[List[str]] = None):
     batch_windows = max(args.batch_windows, 1)
     use_batched = batch_windows > 1 or mesh_axes is not None
     use_packed = use_batched and mesh_axes is None
-    if use_packed:
-        # single-device batching: packed block-diagonal graphs (faster than
-        # vmapping - no batched-matmul layout transposes; see train/packed.py)
+    use_block = use_packed and cfg.nattheads == 0
+    if use_block:
+        # single-device batching, block-structured fast path: the graph is a
+        # union of complete-bipartite rectangles, so message passing and the
+        # losses run scatter-free in dual layout (see train/block.py)
+        from trackmpnn_tpu.train.block import (block_dims, build_block_batch,
+                                               make_block_train_step)
+
+        step = make_block_train_step(cfg, tx, args.tp_classifier)
+        block_dims_max = [0, 0, 0]  # growing buckets bound recompiles
+        log(f"block-structured batched training: {batch_windows} windows/step")
+    elif use_packed:
+        # packed block-diagonal graphs (slower general path, needed for GAT)
         from trackmpnn_tpu.train.packed import make_packed_train_step, pack_schedules
 
         step = make_packed_train_step(cfg, tx, args.tp_classifier)
@@ -247,6 +257,15 @@ def main(argv: Optional[List[str]] = None):
                                return_grads=args.plot_gradients)
     lr_of = optim.step_lr(args.learning_rate)
     rng = np.random.default_rng(args.seed)
+    # GAT attention dropout needs a PRNG key at train time; fold per step
+    gat_rng = jax.random.key(args.seed) if cfg.nattheads > 0 else None
+    step_counter = [0]
+
+    def step_kwargs():
+        if gat_rng is None:
+            return {}
+        step_counter[0] += 1
+        return {"rng": jax.random.fold_in(gat_rng, step_counter[0])}
 
     history = {"loss_c": [], "loss_f": [], "loss": [], "train_f1": [],
                "val_f1": [], "val_mota": [], "val_map": []}
@@ -296,11 +315,17 @@ def main(argv: Optional[List[str]] = None):
                 if len(ws.is_det) != cap or len(ws.n_before) != t_cap:
                     ws = _build_sched(feats_b, bbox_b, cap=cap, t_cap=t_cap)
                 scheds.append(ws)
-            if use_packed:
+            if use_block:
+                dims = block_dims(scheds)
+                for i in range(3):
+                    block_dims_max[i] = max(block_dims_max[i], dims[i])
+                sbatch = build_block_batch(scheds, t_cap, *block_dims_max)
+            elif use_packed:
                 sbatch = pack_schedules(scheds, cap, t_cap)
             else:
                 sbatch = batch_schedules(scheds, cap, t_cap)
-            params, stats, opt_state, loss, aux = step(params, stats, opt_state, sbatch)
+            params, stats, opt_state, loss, aux = step(
+                params, stats, opt_state, sbatch, **step_kwargs())
             record(loss, aux)
 
         from trackmpnn_tpu.data.loader import PrefetchLoader
@@ -330,7 +355,8 @@ def main(argv: Optional[List[str]] = None):
                     batch_buf = []
             else:
                 sb = schedule_to_device(ws)
-                params, stats, opt_state, loss, aux = step(params, stats, opt_state, sb)
+                params, stats, opt_state, loss, aux = step(
+                    params, stats, opt_state, sb, **step_kwargs())
                 record(loss, aux)
                 if args.plot_gradients and len(ep_losses) % 100 == 1 and "grads" in aux:
                     from trackmpnn_tpu.eval.visualize import plot_grad_flow

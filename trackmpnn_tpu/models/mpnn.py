@@ -115,9 +115,11 @@ def init_batch_stats(cfg: ModelConfig, dtype=jnp.float32):
 def _node_support(h, g: GraphView, msg_type: str):
     """node_adj_norm @ h without the matrix: per edge row, h[past] (-/|) h[fut].
 
-    'diff' mode routes through the differentiable gather-diff dispatch whose
-    Pallas kernel (TM_PALLAS=1) keeps h VMEM-resident; its backward is the
-    signed scatter kernel (the two are mutual transposes)."""
+    'diff' mode routes through the differentiable gather-diff dispatch
+    (XLA by default; the experimental TM_PALLAS=1 kernel keeps h
+    VMEM-resident but serializes under vmap - see ops/pallas_mp.py).
+    The production fast path avoids this row-layout gather entirely via
+    block-structured reductions (train/block.py)."""
     if msg_type == "concat":
         e = g.edge_mask()[:, None]
         return jnp.where(e, jnp.concatenate([h[g.past], h[g.fut]], axis=-1), 0.0)

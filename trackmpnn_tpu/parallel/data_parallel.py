@@ -41,14 +41,22 @@ def batch_schedules(schedules: List, cap: int, t_cap: int) -> ScheduleBatch:
 
 
 def batched_window_forward(params, batch_stats, cfg, sbatch: ScheduleBatch, tp_classifier,
-                           train=True):
+                           train=True, rng=None):
     """vmap window_forward over the leading batch axis; mean loss, averaged
-    batch-stat updates."""
+    batch-stat updates.  rng (needed to train with GAT heads) is split per
+    window so attention-dropout masks are independent across the batch."""
 
-    def one(sb):
-        return window_forward(params, batch_stats, cfg, sb, tp_classifier, train=train)
-
-    loss, aux = jax.vmap(one)(sbatch)
+    if rng is not None:
+        keys = jax.random.split(rng, sbatch.is_det.shape[0])
+        loss, aux = jax.vmap(
+            lambda sb, k: window_forward(params, batch_stats, cfg, sb,
+                                         tp_classifier, train=train, rng=k)
+        )(sbatch, keys)
+    else:
+        loss, aux = jax.vmap(
+            lambda sb: window_forward(params, batch_stats, cfg, sb,
+                                      tp_classifier, train=train)
+        )(sbatch)
     mean_loss = jnp.mean(loss)
     stats_new = jax.tree_util.tree_map(lambda s: jnp.mean(s, axis=0), aux["batch_stats"])
     out_aux = {
@@ -86,27 +94,36 @@ def make_sharded_train_step(mesh: Mesh, cfg: mpnn.ModelConfig, tx, tp_classifier
         is_leaf=lambda x: isinstance(x, P),
     )
 
-    def loss_fn(params, batch_stats, sbatch):
-        return batched_window_forward(params, batch_stats, cfg, sbatch, tp_classifier)
+    def _make_step(with_rng: bool):
+        def loss_fn(params, batch_stats, sbatch, rng):
+            return batched_window_forward(params, batch_stats, cfg, sbatch,
+                                          tp_classifier, rng=rng)
 
-    @partial(
-        jax.jit,
-        in_shardings=(repl, repl, repl, sched_shardings),
-        out_shardings=None,
-        donate_argnums=(0, 1, 2),
-    )
-    def step(params, batch_stats, opt_state, sbatch: ScheduleBatch):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, sbatch
-        )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        return params, aux["batch_stats"], opt_state, loss, {
-            k: aux[k] for k in ("loss_ce", "loss_f", "tp", "fp", "fn")
-        }
+        in_sh = (repl, repl, repl, sched_shardings) + ((repl,) if with_rng else ())
 
-    def run(params, batch_stats, opt_state, sbatch: ScheduleBatch):
+        @partial(jax.jit, in_shardings=in_sh, out_shardings=None,
+                 donate_argnums=(0, 1, 2))
+        def step(params, batch_stats, opt_state, sbatch, *maybe_rng):
+            rng = maybe_rng[0] if maybe_rng else None
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, sbatch, rng
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, aux["batch_stats"], opt_state, loss, {
+                k: aux[k] for k in ("loss_ce", "loss_f", "tp", "fp", "fn")
+            }
+
+        return step
+
+    steps = {}
+
+    def run(params, batch_stats, opt_state, sbatch: ScheduleBatch, rng=None):
         sbatch = jax.device_put(sbatch, sched_shardings)
-        return step(params, batch_stats, opt_state, sbatch)
+        with_rng = rng is not None
+        if with_rng not in steps:
+            steps[with_rng] = _make_step(with_rng)
+        extra = (rng,) if with_rng else ()
+        return steps[with_rng](params, batch_stats, opt_state, sbatch, *extra)
 
     return run

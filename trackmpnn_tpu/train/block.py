@@ -1,0 +1,432 @@
+"""Block-structured training step: the scatter-free fast path.
+
+The packed step (train/packed.py) is semantically complete but profiles at
+~2% MXU: XLA lowers every arbitrary-index gather/scatter over the [B*cap]
+row axis to ~13ns-per-row serialized sequences, and the step does a handful
+of them per message-passing round plus ~5 more in targets+CE (CLAUDE.md
+perf log).  The fix is algorithmic, not kernel-level: every step's new
+edges form a COMPLETE BIPARTITE block active x new (ref graph.py:281 -
+`n_new = na*nt + nt` with rows laid out i*nt + j), so the graph is a union
+of dense rectangles and none of the per-edge index chasing is necessary:
+
+  * edge hidden state lives in padded block layout  [B*T, na_cap, nt_cap, H]
+    and detection hidden state in a compact per-window layout [B*capD, H];
+  * node_support (h[past] - h[fut] per edge) = broadcast difference of a
+    tiny active-row gather ([B*T, na_cap] rows) and a new-det gather
+    ([B*T, nt_cap] rows) - serialized rows drop from O(edges) to O(active);
+  * edge_support (signed incident sums per det) = dense row/col sums of the
+    rectangles + ONE segment-sum of [B*T*(na_cap+nt_cap)] rows;
+  * a detection's past incident edge set is exactly one block COLUMN, so
+    the per-detection CE past term is a dense per-column reduction with no
+    scatter at all; the future sets touch only active lists.
+
+Semantics are identical to packed_window_forward (tests/test_block_step.py
+pins loss, aux and grads); supported configs: msg 'diff'/'concat', no GAT
+heads (the GAT path falls back to the packed step).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trackmpnn_tpu.losses.losses import EPS
+from trackmpnn_tpu.models import mpnn, nn
+from trackmpnn_tpu.ops import segment_min, segment_sum
+
+_BIG = np.float32(1 << 30)  # larger than any slot row id (exact in f32)
+
+
+class BlockBatch(NamedTuple):
+    """B windows in dual layout: compact detections + padded edge rectangles.
+
+    Detection slots of window w occupy [w*capD, (w+1)*capD); block b of
+    window w is flat block id w*t_cap + b (one block per schedule step; a
+    step that appended nothing is an empty block with nt = 0)."""
+
+    det_feat: jnp.ndarray    # f32[B*capD, F]
+    det_label: jnp.ndarray   # i32[B*capD]
+    det_step: jnp.ndarray    # i32[B*capD]  introduction step (t_cap = padding)
+    active_idx: jnp.ndarray  # i32[B*T, na_cap] global compact det id per row i
+    newdet_idx: jnp.ndarray  # i32[B*T, nt_cap] global compact det id per col j
+    blk_na: jnp.ndarray      # i32[B*T]
+    blk_nt: jnp.ndarray      # i32[B*T]
+    blk_edge_base: jnp.ndarray  # i32[B*T] original slot row of edge (0, 0)
+    edge_label: jnp.ndarray  # i32[B*T, na_cap, nt_cap]
+    step_valid: jnp.ndarray  # bool[t_cap, B]
+
+    @property
+    def t_cap(self) -> int:
+        return self.step_valid.shape[0]
+
+    @property
+    def n_windows(self) -> int:
+        return self.step_valid.shape[1]
+
+    @property
+    def capD(self) -> int:
+        return self.det_feat.shape[0] // self.n_windows
+
+    @property
+    def na_cap(self) -> int:
+        return self.active_idx.shape[1]
+
+    @property
+    def nt_cap(self) -> int:
+        return self.newdet_idx.shape[1]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((max(x, 1) + m - 1) // m) * m
+
+
+def block_dims(schedules: List) -> tuple:
+    """(capD, na_cap, nt_cap) buckets for a batch of WindowSchedules."""
+    capD = na = nt = 1
+    for ws in schedules:
+        capD = max(capD, int(np.sum(ws.is_det[: ws.n_rows])))
+        for blk in ws.blocks:
+            if blk is not None:
+                na, nt = max(na, blk.na), max(nt, blk.nt)
+    return _round_up(capD, 64), _round_up(na, 8), _round_up(nt, 8)
+
+
+def build_block_batch(schedules: List, t_cap: int, capD=None, na_cap=None,
+                      nt_cap=None) -> BlockBatch:
+    """Pack WindowSchedules (graph/schedule.py) into block-table form."""
+    d_capD, d_na, d_nt = block_dims(schedules)
+    capD = capD or d_capD
+    na_cap = na_cap or d_na
+    nt_cap = nt_cap or d_nt
+    B = len(schedules)
+    F = schedules[0].feat.shape[1]
+
+    det_feat = np.zeros((B * capD, F), np.float32)
+    det_label = np.zeros(B * capD, np.int32)
+    det_step = np.full(B * capD, t_cap, np.int32)
+    active_idx = np.zeros((B * t_cap, na_cap), np.int32)
+    newdet_idx = np.zeros((B * t_cap, nt_cap), np.int32)
+    blk_na = np.zeros(B * t_cap, np.int32)
+    blk_nt = np.zeros(B * t_cap, np.int32)
+    blk_edge_base = np.zeros(B * t_cap, np.int32)
+    edge_label = np.zeros((B * t_cap, na_cap, nt_cap), np.int32)
+    step_valid = np.zeros((t_cap, B), bool)
+
+    for w, ws in enumerate(schedules):
+        n = ws.n_rows
+        is_det = np.asarray(ws.is_det[:n])
+        dr = np.where(is_det)[0]
+        ndet = len(dr)
+        if ndet > capD:
+            raise ValueError(f"capD {capD} < detections {ndet}")
+        dc = np.full(n, -1, np.int64)  # slot row -> compact det id
+        dc[dr] = np.arange(ndet)
+        dof = w * capD
+        det_feat[dof : dof + ndet] = np.asarray(ws.feat)[dr]
+        det_label[dof : dof + ndet] = np.asarray(ws.label)[dr]
+        for s in range(ws.n_steps):
+            step_valid[s, w] = True
+            b, a = int(ws.n_before[s]), int(ws.n_after[s])
+            new_dets = dc[np.arange(b, a)[is_det[b:a]]]
+            det_step[dof + new_dets] = s
+            blk = ws.blocks[s]
+            bid = w * t_cap + s
+            if blk is None:
+                if a > b:
+                    raise ValueError(f"step {s} added rows but has no block")
+                continue
+            if blk.na > na_cap or blk.nt > nt_cap:
+                raise ValueError("block exceeds (na_cap, nt_cap)")
+            blk_na[bid], blk_nt[bid] = blk.na, blk.nt
+            blk_edge_base[bid] = blk.edge_base
+            active_idx[bid, : blk.na] = dof + dc[blk.active_rows]
+            newdet_idx[bid, : blk.nt] = dof + dc[blk.det_base] + np.arange(blk.nt)
+            lbl = np.asarray(ws.label)[
+                blk.edge_base : blk.edge_base + blk.na * blk.nt
+            ].reshape(blk.na, blk.nt)
+            edge_label[bid, : blk.na, : blk.nt] = lbl
+
+    j = jnp.asarray
+    return BlockBatch(
+        det_feat=j(det_feat), det_label=j(det_label), det_step=j(det_step),
+        active_idx=j(active_idx), newdet_idx=j(newdet_idx),
+        blk_na=j(blk_na), blk_nt=j(blk_nt), blk_edge_base=j(blk_edge_base),
+        edge_label=j(edge_label), step_valid=j(step_valid),
+    )
+
+
+# ------------------------------------------------------------ device step ----
+def _bn_with_phantom_rows(params, stats, y1, mask_d, n_phantom, *, train):
+    """BatchNorm over {y1 rows where mask_d} + n_phantom copies of lin1's
+    bias vector (what zero-feature new edge rows contribute in the row
+    layout, ref track_mpnn.py:58-61: BN statistics include them but their
+    transformed value is never used).  Returns (y_normed, new_stats, count).
+    """
+    b1 = params["lin1"]["b"]
+    mask_f = mask_d.astype(y1.dtype)[:, None]
+    nph = n_phantom.astype(y1.dtype)
+    cnt_raw = jnp.sum(mask_f) + nph
+    if train:
+        cnt = jnp.maximum(cnt_raw, 1.0)
+        mean = (jnp.sum(y1 * mask_f, axis=0) + nph * b1) / cnt
+        var_b = (jnp.sum(((y1 - mean) ** 2) * mask_f, axis=0)
+                 + nph * (b1 - mean) ** 2) / cnt
+        y = (y1 - mean) * jax.lax.rsqrt(var_b + nn.BN_EPS)
+        var_u = var_b * cnt / jnp.maximum(cnt - 1.0, 1.0)
+        new_stats = {
+            "mean": (1 - nn.BN_MOMENTUM) * stats["mean"] + nn.BN_MOMENTUM * mean,
+            "var": (1 - nn.BN_MOMENTUM) * stats["var"] + nn.BN_MOMENTUM * var_u,
+        }
+    else:
+        y = (y1 - stats["mean"]) * jax.lax.rsqrt(stats["var"] + nn.BN_EPS)
+        new_stats = stats
+    bn = params["bn"]
+    return y * bn["gamma"] + bn["beta"], new_stats, cnt_raw
+
+
+def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, det_live,
+                          blk_live, row_m, col_m, em3):
+    """Targets + per-detection CE in block layout.
+
+    Same contract as losses.targets_and_ce (ref loss.py:8-44, 77-115):
+      * a detection's past incident set is one block column -> the "latest
+        positive" pick and the CE past term are dense column reductions;
+      * future sets span the active lists of later blocks -> per-(block,
+        active-row) dense partials + one tiny segment reduction per
+        quantity over the active index lists.
+    Returns (targets_d i32, targets_e i32, ce_sum).
+    """
+    nD = logits_d.shape[0]
+    na_cap, nt_cap = bb.na_cap, bb.nt_cap
+    ii = jnp.arange(na_cap, dtype=jnp.int32)[None, :, None]
+    jj = jnp.arange(nt_cap, dtype=jnp.int32)[None, None, :]
+    # original slot row of edge (i, j) - the reference's tie-break key.
+    # Kept in float32 throughout (slot rows << 2^24, so exact): segment_min
+    # pads empties with a float default, and mixing dtypes there is UB-bait.
+    rowid = (bb.blk_edge_base[:, None, None] + ii * bb.blk_nt[:, None, None]
+             + jj).astype(jnp.float32)
+
+    # ---- targets ----
+    lbl_pos = (bb.edge_label == 1) & em3
+    # past part: latest (max i) positive-label edge in each column
+    max_i = jnp.max(jnp.where(lbl_pos, ii, -1), axis=1)         # [BT, nt]
+    part_a = lbl_pos & (ii == max_i[:, None, :])
+    # future part: earliest (min rowid) positive-label edge out of each det
+    r_min = jnp.min(jnp.where(lbl_pos, rowid, _BIG), axis=2)    # [BT, na]
+    act_flat = bb.active_idx.reshape(-1)
+    act_m = (blk_live[:, None] & row_m).reshape(-1)
+    sel1 = segment_min(r_min.reshape(-1), act_flat, nD, mask=act_m)
+    part_b = lbl_pos & (rowid == sel1[bb.active_idx][:, :, None])
+    targets_e = (part_a | part_b).astype(jnp.int32)
+    targets_d = ((bb.det_label == 1) & det_live).astype(jnp.int32)
+
+    # ---- CE past side: dense per-column ----
+    tpos = (targets_e == 1) & em3
+    neg = jnp.float32(-1e30)
+    col_has = jnp.any(tpos, axis=1)                             # [BT, nt]
+    sel_i = jnp.max(jnp.where(tpos, ii, -1), axis=1)            # latest positive
+    le = jnp.where(em3, logits_e, neg)
+    m_col = jnp.max(le, axis=1)                                 # [BT, nt]
+    safe_m = jnp.where(col_has, m_col, 0.0)
+    sumexp = jnp.sum(jnp.where(em3, jnp.exp(logits_e - safe_m[:, None, :]), 0.0), axis=1)
+    lse_col = safe_m + jnp.log(jnp.maximum(sumexp, 1e-30))
+    sel_logit = jnp.sum(jnp.where(tpos & (ii == sel_i[:, None, :]), logits_e, 0.0), axis=1)
+    size_col = bb.blk_na[:, None].astype(jnp.float32)
+    ce_past = jnp.sum(jnp.where(col_has, (lse_col - sel_logit)
+                                / jnp.maximum(size_col, 1.0), 0.0))
+
+    # ---- CE future side: per-(block, active-row) partials + segment ops ----
+    gmax = jax.lax.stop_gradient(
+        jnp.max(jnp.where(em3, logits_e, -jnp.inf), initial=0.0))
+    sexp_row = jnp.sum(jnp.where(em3, jnp.exp(logits_e - gmax), 0.0), axis=2)
+    cnt_row = jnp.where(blk_live[:, None] & row_m,
+                        bb.blk_nt[:, None].astype(jnp.float32), 0.0)
+    packed = jnp.stack([sexp_row, cnt_row], axis=-1).reshape(-1, 2)
+    sums = segment_sum(packed, act_flat, nD, mask=act_m)
+    lse_d = gmax + jnp.log(jnp.maximum(sums[:, 0], 1e-30))
+    size_d = sums[:, 1]
+    rp_min = jnp.min(jnp.where(tpos, rowid, _BIG), axis=2)      # [BT, na]
+    sel2 = segment_min(rp_min.reshape(-1), act_flat, nD, mask=act_m)
+    det_row = jnp.stack([lse_d, size_d, sel2], axis=1)
+    rb = det_row[bb.active_idx]                                 # [BT, na, 3]
+    win = tpos & (rowid == rb[:, :, None, 2])
+    per_edge = jnp.where(
+        win, (rb[:, :, None, 0] - logits_e) / jnp.maximum(rb[:, :, None, 1], 1.0), 0.0)
+    ce_fut = jnp.sum(per_edge)
+
+    return targets_d, targets_e, ce_past + ce_fut
+
+
+def _per_window_bce_dual(scores_d, t_d, mask_d, scores_e, t_e, mask_e, B):
+    """Sum over windows of the window's masked-mean BCE across BOTH layouts
+    (matches packed._per_window_bce on the union of det + edge rows)."""
+    pt_d = jnp.where(t_d == 1, scores_d, 1.0 - scores_d)
+    pt_e = jnp.where(t_e == 1, scores_e, 1.0 - scores_e)
+    s = (jnp.sum(jnp.where(mask_d, jnp.log(pt_d + EPS), 0.0).reshape(B, -1), 1)
+         + jnp.sum(jnp.where(mask_e, jnp.log(pt_e + EPS), 0.0).reshape(B, -1), 1))
+    c = (jnp.sum(mask_d.reshape(B, -1), 1) + jnp.sum(mask_e.reshape(B, -1), 1))
+    return -jnp.sum(s / jnp.maximum(c, 1.0))
+
+
+def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
+                         bb: BlockBatch, tp_classifier: bool,
+                         train: bool = True):
+    """Scan the window in dual layout; same contract as packed_window_forward."""
+    if cfg.nattheads > 0:
+        raise ValueError("block path does not support GAT heads; use packed")
+    B, T = bb.n_windows, bb.t_cap
+    capD, na_cap, nt_cap = bb.capD, bb.na_cap, bb.nt_cap
+    nD = B * capD
+    H = cfg.nhidden
+    nb = len(cfg.branches)
+    det_window = jnp.arange(nD, dtype=jnp.int32) // capD
+    blk_window = jnp.arange(B * T, dtype=jnp.int32) // T
+    blk_step = jnp.arange(B * T, dtype=jnp.int32) % T
+    row_m = jnp.arange(na_cap, dtype=jnp.int32)[None, :] < bb.blk_na[:, None]
+    col_m = jnp.arange(nt_cap, dtype=jnp.int32)[None, :] < bb.blk_nt[:, None]
+
+    # lin1 is step-independent: hoist it out of the scan (one tiny matmul)
+    y1s, widths = [], []
+    off = 0
+    for bi, (_, width) in enumerate(cfg.branches):
+        x = bb.det_feat[:, off : off + width]
+        off += width
+        y1s.append(nn.linear(params["branches"][bi]["input"]["lin1"], x))
+        widths.append(width)
+
+    h_d0 = jnp.zeros((nD, nb * H), jnp.float32)
+    h_e0 = jnp.zeros((B * T, na_cap, nt_cap, nb * H), jnp.float32)
+
+    def step(carry, s):
+        h_d, h_e, stats = carry
+        sv = bb.step_valid[s]                       # [B]
+        any_valid = jnp.any(sv)
+        det_valid = sv[det_window]
+        det_live = (bb.det_step <= s) & det_valid
+        det_new = (bb.det_step == s) & det_valid
+        blk_valid = sv[blk_window]
+        blk_live = (blk_step <= s) & blk_valid & (bb.blk_nt > 0)
+        blk_new = (blk_step == s) & blk_valid
+        em3 = blk_live[:, None, None] & row_m[:, :, None] & col_m[:, None, :]
+
+        n_phantom = jnp.sum(jnp.where(blk_new, bb.blk_na * bb.blk_nt, 0))
+
+        hd_parts, he_parts, stats_new = [], [], []
+        for bi in range(nb):
+            bp = params["branches"][bi]
+            bs = stats["branches"][bi]["bn"]
+            xt, bn_stats, cnt_raw = _bn_with_phantom_rows(
+                bp["input"], bs, y1s[bi], det_new, n_phantom, train=train)
+            xt = nn.linear(bp["input"]["lin2"], jax.nn.relu(xt))
+            bn_stats = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(cnt_raw > 0, a, b), bn_stats, bs)
+            stats_new.append({"bn": bn_stats})
+
+            h_d_b = h_d[:, bi * H : (bi + 1) * H]
+            h_d_b = jnp.where(det_new[:, None], xt,
+                              jnp.where(det_live[:, None], h_d_b, 0.0))
+            h_e_b = jnp.where(em3[..., None],
+                              h_e[..., bi * H : (bi + 1) * H], 0.0)
+
+            # -------- message-passing round, dual layout --------
+            ha = h_d_b[bb.active_idx]               # [BT, na, H]
+            hn = h_d_b[bb.newdet_idx]               # [BT, nt, H]
+            if cfg.msg_type == "concat":
+                ns = jnp.concatenate([
+                    jnp.broadcast_to(ha[:, :, None, :], em3.shape + (H,)),
+                    jnp.broadcast_to(hn[:, None, :, :], em3.shape + (H,)),
+                ], axis=-1)
+            else:
+                ns = ha[:, :, None, :] - hn[:, None, :, :]
+            ns = jnp.where(em3[..., None], ns, 0.0)
+            edge_out = nn.gru_cell(
+                bp["edge_gru"], ns.reshape(-1, ns.shape[-1]),
+                h_e_b.reshape(-1, H)).reshape(h_e_b.shape)
+            edge_out = jnp.where(em3[..., None], edge_out, 0.0)
+
+            # edge_support: +row sums to active dets, -col sums to new dets
+            rs = jnp.sum(jnp.where(em3[..., None], h_e_b, 0.0), axis=2)
+            cs = jnp.sum(jnp.where(em3[..., None], h_e_b, 0.0), axis=1)
+            seg = jnp.concatenate([bb.active_idx.reshape(-1),
+                                   bb.newdet_idx.reshape(-1)])
+            vals = jnp.concatenate([rs.reshape(-1, H), -cs.reshape(-1, H)])
+            vm = jnp.concatenate([(blk_live[:, None] & row_m).reshape(-1),
+                                  (blk_live[:, None] & col_m).reshape(-1)])
+            es = segment_sum(vals, seg, nD, mask=vm)
+            node_out = nn.gru_cell(bp["node_gru"], es, h_d_b)
+            hd_parts.append(jnp.where(det_live[:, None], node_out, 0.0))
+            he_parts.append(edge_out)
+        stats_new = {"branches": stats_new}
+
+        h_d_out = jnp.concatenate(hd_parts, axis=-1)
+        h_e_out = jnp.concatenate(he_parts, axis=-1)
+        logits_d = nn.linear(params["out_node"], h_d_out)[:, 0]
+        logits_d = jnp.where(det_live, logits_d, 0.0)
+        logits_e = nn.linear(params["out_edge"], h_e_out)[..., 0]
+        logits_e = jnp.where(em3, logits_e, 0.0)
+
+        t_d, t_e, l_ce = _block_targets_and_ce(
+            logits_d, logits_e, bb, det_live, blk_live, row_m, col_m, em3)
+        scores_d = jnp.where(det_live, jax.nn.sigmoid(logits_d), 0.0)
+        scores_e = jnp.where(em3, jax.nn.sigmoid(logits_e), 0.0)
+        no_mask_d = jnp.zeros_like(det_live)
+        if tp_classifier:
+            l_f = (_per_window_bce_dual(scores_d, t_d, det_live, scores_e,
+                                        t_e, jnp.zeros_like(em3), B)
+                   + _per_window_bce_dual(scores_d, t_d, no_mask_d, scores_e,
+                                          t_e, em3, B))
+        else:
+            l_f = _per_window_bce_dual(scores_d, t_d, no_mask_d, scores_e,
+                                       t_e, em3, B)
+        pred_d, pred_e = scores_d >= 0.5, scores_e >= 0.5
+        if tp_classifier:
+            md, me = det_live, em3
+        else:
+            md, me = no_mask_d, em3
+        tp = (jnp.sum(md & pred_d & (t_d == 1))
+              + jnp.sum(me & pred_e & (t_e == 1)))
+        fp = (jnp.sum(md & pred_d & (t_d != 1))
+              + jnp.sum(me & pred_e & (t_e != 1)))
+        fn = (jnp.sum(md & ~pred_d & (t_d == 1))
+              + jnp.sum(me & ~pred_e & (t_e == 1)))
+
+        h_d_next = jnp.where(det_valid[:, None], h_d_out, h_d)
+        h_e_next = jnp.where(blk_valid[:, None, None, None], h_e_out, h_e)
+        stats_next = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(any_valid, a, b), stats_new, stats)
+        zero = jnp.float32(0.0)
+        return (h_d_next, h_e_next, stats_next), (
+            jnp.where(any_valid, l_ce, zero), jnp.where(any_valid, l_f, zero),
+            tp, fp, fn)
+
+    (h_d_fin, h_e_fin, stats_fin), (l_ce, l_f, tp, fp, fn) = jax.lax.scan(
+        step, (h_d0, h_e0, batch_stats), jnp.arange(T))
+    total = (jnp.sum(l_ce) + jnp.sum(l_f)) / B
+    aux = {
+        "loss_ce": jnp.sum(l_ce) / B, "loss_f": jnp.sum(l_f) / B,
+        "tp": jnp.sum(tp), "fp": jnp.sum(fp), "fn": jnp.sum(fn),
+        "batch_stats": stats_fin, "hidden": (h_d_fin, h_e_fin),
+    }
+    return total, aux
+
+
+def make_block_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool):
+    """jit'd full train step over a BlockBatch (drop-in for the packed one)."""
+
+    def loss_fn(params, batch_stats, bb):
+        return block_window_forward(params, batch_stats, cfg, bb, tp_classifier)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, bb: BlockBatch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, bb)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, aux["batch_stats"], opt_state, loss, {
+            k: aux[k] for k in ("loss_ce", "loss_f", "tp", "fp", "fn")
+        }
+
+    return step

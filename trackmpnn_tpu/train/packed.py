@@ -144,11 +144,13 @@ def _forward_fused_round(params, batch_stats, cfg, pb: PackedBatch, live, new,
 
 def packed_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                           pb: PackedBatch, tp_classifier: bool,
-                          train: bool = True, fused_round: bool = False):
+                          train: bool = True, fused_round: bool = False,
+                          rng=None):
     """Scan the packed batch; returns (mean-per-window loss, aux).
 
     fused_round=True routes the message-passing round through the Pallas
     kernel pipeline (requires msg 'diff', no GAT; see ops/pallas_round.py).
+    rng: PRNG key for GAT attention dropout (required to train with GAT).
     """
     cap, B = pb.cap, pb.n_windows
     n = cap * B
@@ -157,6 +159,9 @@ def packed_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     h0 = jnp.zeros((n, nb * cfg.nhidden), jnp.float32)
     if fused_round and (cfg.msg_type != "diff" or cfg.nattheads > 0):
         raise ValueError("fused round supports msg 'diff' without GAT heads")
+    if train and cfg.nattheads > 0 and rng is None:
+        raise ValueError("training with GAT heads needs an rng key for "
+                         "attention dropout (pass rng=...)")
 
     def step(carry, s):
         h, stats = carry
@@ -172,7 +177,9 @@ def packed_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         else:
             g = GraphView(is_det=pb.is_det, past=pb.past, fut=pb.fut,
                           live=live, new=new, feat=pb.feat)
-            out, stats_new = mpnn.forward(params, stats, cfg, g, h, train=train)
+            rng_s = jax.random.fold_in(rng, s) if rng is not None else None
+            out, stats_new = mpnn.forward(params, stats, cfg, g, h,
+                                          train=train, rng=rng_s)
 
         targets, l_ce = targets_and_ce(out.logits, pb.label, pb.is_det,
                                        pb.past, pb.fut, live)
@@ -207,13 +214,14 @@ def packed_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
 
 
 def make_packed_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool):
-    def loss_fn(params, batch_stats, pb):
-        return packed_window_forward(params, batch_stats, cfg, pb, tp_classifier)
+    def loss_fn(params, batch_stats, pb, rng):
+        return packed_window_forward(params, batch_stats, cfg, pb,
+                                     tp_classifier, rng=rng)
 
     @jax.jit
-    def step(params, batch_stats, opt_state, pb: PackedBatch):
+    def step(params, batch_stats, opt_state, pb: PackedBatch, rng=None):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, pb)
+            params, batch_stats, pb, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, aux["batch_stats"], opt_state, loss, {

@@ -52,13 +52,19 @@ def schedule_to_device(ws) -> ScheduleBatch:
 
 
 def window_forward(params, batch_stats, cfg: mpnn.ModelConfig, sb: ScheduleBatch,
-                   tp_classifier: bool, train: bool = True):
+                   tp_classifier: bool, train: bool = True, rng=None):
     """Scan the window. Returns (total_loss, aux) where aux carries
-    per-step f1 counts, the final hidden state, and updated batch stats."""
+    per-step f1 counts, the final hidden state, and updated batch stats.
+
+    rng: PRNG key for GAT attention dropout; required when training with
+    nattheads > 0 (folded per scan step)."""
     cap = sb.is_det.shape[0]
     nb = len(cfg.branches)
     idx = jnp.arange(cap, dtype=jnp.int32)
     h0 = jnp.zeros((cap, nb * cfg.nhidden), jnp.float32)
+    if train and cfg.nattheads > 0 and rng is None:
+        raise ValueError("training with GAT heads needs an rng key for "
+                         "attention dropout (pass rng=...)")
 
     def step(carry, s):
         h, stats = carry
@@ -67,7 +73,9 @@ def window_forward(params, batch_stats, cfg: mpnn.ModelConfig, sb: ScheduleBatch
         new = (idx >= n_b) & live
         g = GraphView(is_det=sb.is_det, past=sb.past, fut=sb.fut,
                       live=live, new=new, feat=sb.feat)
-        out, stats_new = mpnn.forward(params, stats, cfg, g, h, train=train)
+        rng_s = jax.random.fold_in(rng, s) if rng is not None else None
+        out, stats_new = mpnn.forward(params, stats, cfg, g, h, train=train,
+                                      rng=rng_s)
         l_ce, l_f, (tp, fp, fn), _ = step_losses(
             out.scores, out.logits, sb.label, sb.is_det, sb.past, sb.fut,
             live, tp_classifier,
@@ -103,12 +111,14 @@ def make_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool,
     return_grads=True also returns the gradient pytree in the aux dict
     (for gradient-flow plots, ref train.py:140-145 / utils/gradients.py)."""
 
-    def loss_fn(params, batch_stats, sb):
-        return window_forward(params, batch_stats, cfg, sb, tp_classifier, train=True)
+    def loss_fn(params, batch_stats, sb, rng):
+        return window_forward(params, batch_stats, cfg, sb, tp_classifier,
+                              train=True, rng=rng)
 
     @jax.jit
-    def step(params, batch_stats, opt_state, sb: ScheduleBatch):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch_stats, sb)
+    def step(params, batch_stats, opt_state, sb: ScheduleBatch, rng=None):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, sb, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         out_aux = {
