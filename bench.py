@@ -99,14 +99,18 @@ def live_edges_per_window(ws) -> int:
     return total
 
 
-def bench_ours(schedules, cap, t_cap):
+def bench_ours(schedules, cap, t_cap, on_tpu=True):
     """The production train step (cli/train.py batched path): block-structured
     dual-layout scan (train/block.py) with targets + CE + BCE each step,
-    full-window BPTT, and the Adam update - not a model-only forward."""
+    full-window BPTT, and the Adam update - not a model-only forward.
+
+    Timed from the DEVICE-side profiler trace on TPU: wall-clock through
+    the tunnel is untrustworthy (see utils/devicetime.py)."""
     import jax
     from trackmpnn_tpu.models import mpnn
     from trackmpnn_tpu.train import optim
     from trackmpnn_tpu.train.block import build_block_batch, make_block_train_step
+    from trackmpnn_tpu.utils.devicetime import device_seconds_per_step
 
     cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=64)
     params = mpnn.init_params(jax.random.key(0), cfg)
@@ -116,15 +120,24 @@ def bench_ours(schedules, cap, t_cap):
     step = make_block_train_step(cfg, tx, tp_classifier=False)
     bb = build_block_batch(schedules, t_cap)
 
-    # warmup/compile
-    params, stats, opt_state, loss, _ = step(params, stats, opt_state, bb)
+    state = [params, stats, opt_state]
+
+    def one():
+        state[0], state[1], state[2], loss, _ = step(state[0], state[1],
+                                                     state[2], bb)
+        return loss
+
+    loss = one()  # warmup/compile
     jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        params, stats, opt_state, loss, _ = step(params, stats, opt_state, bb)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / REPEATS
-    assert np.isfinite(float(loss)), "train step diverged"
+    if on_tpu:
+        dt = device_seconds_per_step(one, n=max(REPEATS // 2, 5))
+    else:
+        t0 = time.perf_counter()
+        for _ in range(REPEATS):
+            loss = one()
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / REPEATS
+    assert np.isfinite(float(jax.block_until_ready(one()))), "train step diverged"
     return dt
 
 
@@ -284,7 +297,7 @@ def main():
     schedules, cap, t_cap = build_workload()
     total_edges = sum(live_edges_per_window(w) for w in schedules)
 
-    dt_ours = bench_ours(schedules, cap, t_cap)
+    dt_ours = bench_ours(schedules, cap, t_cap, on_tpu=use_tpu)
     ours_eps = total_edges / dt_ours
 
     dt_torch, torch_edges = bench_torch(schedules, cap, t_cap)

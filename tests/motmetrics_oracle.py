@@ -58,11 +58,17 @@ class OracleAccumulator:
                     matched_h.add(h)
                 break
 
-        # step 2: Hungarian on the rest
+        # step 2: Hungarian on the rest.  Forbidden edges get a FINITE
+        # data-derived cost (py-motmetrics lap.add_expensive_edges): an
+        # astronomic constant would absorb the valid costs in float64 and
+        # create spurious ties between optimal assignments.
         rem_i = [i for i, o in enumerate(oids) if o not in matched_o]
         rem_j = [j for j, h in enumerate(hids) if h not in matched_h]
         if rem_i and rem_j:
-            INF = 1e18
+            finite = [dists[i, j] for i in rem_i for j in rem_j
+                      if np.isfinite(dists[i, j])]
+            INF = (1.0 + max(np.abs(finite), default=0.0)) * (
+                len(rem_i) + len(rem_j) + 1)
             C = np.full((len(rem_i), len(rem_j)), INF)
             for a, i in enumerate(rem_i):
                 for b, j in enumerate(rem_j):
@@ -155,7 +161,9 @@ def oracle_summarize(accs):
         total_gt_frames += sum(gt_frames.values())
         total_hyp_frames += sum(hyp_frames.values())
         if nG and nH:
-            INF = 1e18
+            # finite forbidden cost (see step-2 note): larger than any
+            # feasible assignment total, small enough to keep precision
+            INF = float(sum(gt_frames.values()) + sum(hyp_frames.values()) + 1) * (nG + nH + 1)
             n = nG + nH
             C = np.zeros((n, n))
             for i, o in enumerate(gts):

@@ -6,9 +6,10 @@ here, so the metrics are first-party.  Semantics follow the standard
 definitions (Bernardin & Stiefelhagen CLEAR-MOT; Ristani et al. identity
 metrics), matching py-motmetrics' accumulator behavior:
 
-  * per-frame correspondence keeps the previous frame's (gt, hyp) match
-    when both are present and still within the distance gate, then solves
-    min-cost assignment (Hungarian) for the rest;
+  * per-frame correspondence first re-establishes each gt's LAST KNOWN
+    hyp (persisting across frames where either was absent, exactly like
+    py-motmetrics' `self.m`) when both are present and within the distance
+    gate, then solves min-cost assignment (Hungarian) for the rest;
   * SWITCH counts a matched gt whose hyp differs from its last known hyp;
   * MOTA = 1 - (FN + FP + IDSW) / num_gt; MOTP = mean matched distance;
   * IDF1 via a global trajectory-level min-cost bipartite matching.
@@ -69,7 +70,6 @@ class MOTAccumulator:
     hyp_frames: Dict[int, int] = field(default_factory=dict)
     # identity bookkeeping: (gt, hyp) -> #frames gated-matchable
     pair_overlap: Dict[Tuple[int, int], int] = field(default_factory=dict)
-    prev_corr: Dict[int, int] = field(default_factory=dict)    # gt -> hyp in prev frame
 
     def update(self, gt_ids, hyp_ids, dists: np.ndarray):
         gt_ids = [int(i) for i in gt_ids]
@@ -91,10 +91,12 @@ class MOTAccumulator:
 
         matches: Dict[int, Tuple[int, float]] = {}
         used_h = set()
-        # 1) carry over previous-frame correspondences still inside the gate
+        # 1) re-establish last-known correspondences still inside the gate
+        #    (in gt order; each hyp claimed at most once - py-motmetrics
+        #    mot.py update step 1 semantics)
         for i, o in enumerate(gt_ids):
-            h_prev = self.prev_corr.get(o)
-            if h_prev is not None and h_prev in hyp_ids:
+            h_prev = self.last_match.get(o)
+            if h_prev is not None and h_prev in hyp_ids and h_prev not in used_h:
                 j = hyp_ids.index(h_prev)
                 if valid[i, j]:
                     matches[o] = (h_prev, float(dists[i, j]))
@@ -117,11 +119,9 @@ class MOTAccumulator:
                 used_h.add(h)
 
         # 3) events
-        new_corr: Dict[int, int] = {}
         for o in gt_ids:
             if o in matches:
                 h, d = matches[o]
-                new_corr[o] = h
                 prev_h = self.last_match.get(o)
                 if prev_h is not None and prev_h != h:
                     self.num_switches += 1
@@ -136,11 +136,8 @@ class MOTAccumulator:
                 self.gt_matched_frames[o] = self.gt_matched_frames.get(o, 0) + 1
             else:
                 self.num_misses += 1
-                if o in self.gt_frames and o in self.last_match:
-                    pass
                 self.gt_was_matched_prev[o] = False
         self.num_false_positives += len(hyp_ids) - len(used_h)
-        self.prev_corr = new_corr
 
 
 def _identity_scores(accs: List[MOTAccumulator]):

@@ -273,8 +273,13 @@ def _per_window_bce_dual(scores_d, t_d, mask_d, scores_e, t_e, mask_e, B):
 
 def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                          bb: BlockBatch, tp_classifier: bool,
-                         train: bool = True):
-    """Scan the window in dual layout; same contract as packed_window_forward."""
+                         train: bool = True, remat: bool = False):
+    """Scan the window in dual layout; same contract as packed_window_forward.
+
+    remat=True wraps the scan body in jax.checkpoint: the step is bandwidth-
+    bound on [B*T, na, nt, H] scan residuals (profiled: ~6 stacked copies of
+    the edge array per round), so recomputing the round in backward trades
+    cheap dense FLOPs for most of that HBM traffic."""
     if cfg.nattheads > 0:
         raise ValueError("block path does not support GAT heads; use packed")
     B, T = bb.n_windows, bb.t_cap
@@ -402,8 +407,9 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
             jnp.where(any_valid, l_ce, zero), jnp.where(any_valid, l_f, zero),
             tp, fp, fn)
 
+    body = jax.checkpoint(step) if remat else step
     (h_d_fin, h_e_fin, stats_fin), (l_ce, l_f, tp, fp, fn) = jax.lax.scan(
-        step, (h_d0, h_e0, batch_stats), jnp.arange(T))
+        body, (h_d0, h_e0, batch_stats), jnp.arange(T))
     total = (jnp.sum(l_ce) + jnp.sum(l_f)) / B
     aux = {
         "loss_ce": jnp.sum(l_ce) / B, "loss_f": jnp.sum(l_f) / B,
@@ -413,11 +419,17 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     return total, aux
 
 
-def make_block_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool):
-    """jit'd full train step over a BlockBatch (drop-in for the packed one)."""
+def make_block_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool,
+                          remat: bool = True):
+    """jit'd full train step over a BlockBatch (drop-in for the packed one).
+
+    remat defaults on: profiled on v5e it cuts the step 49.3 -> 38.4 ms
+    (B=8, cap=4096) by dropping ~6 stacked [T, B*T, na, nt, H] scan
+    residuals; the recomputed round is dense and cheap."""
 
     def loss_fn(params, batch_stats, bb):
-        return block_window_forward(params, batch_stats, cfg, bb, tp_classifier)
+        return block_window_forward(params, batch_stats, cfg, bb,
+                                    tp_classifier, remat=remat)
 
     @jax.jit
     def step(params, batch_stats, opt_state, bb: BlockBatch):

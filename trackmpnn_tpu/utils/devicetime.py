@@ -1,0 +1,66 @@
+"""Trustworthy step timing on the tunneled TPU backend.
+
+Wall-clock timing through the axon tunnel is unreliable: repeat calls on
+the same executable can return in microseconds while the device trace
+shows tens of milliseconds of real work per step (`block_until_ready`
+appears to complete on enqueue, and identical executions may be replayed).
+The only trustworthy number is the DEVICE-side timeline from
+`jax.profiler.trace` (CLAUDE.md; confirmed again on 2026-08-17: wall said
+0.35 ms/step where the trace showed 49.3 ms/step).
+
+`device_seconds_per_step` runs `n` calls of a nullary step thunk under the
+profiler and returns seconds/step from the device events.  On the CPU
+backend plain wall time is accurate (and the profiler adds overhead), so
+callers should only use this on non-CPU backends.
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import os
+import shutil
+import tempfile
+
+import jax
+
+
+def _device_us_per_program(trace_dir: str) -> float:
+    """Total duration of top-level jitted program executions, in us."""
+    events = []
+    for f in glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                       recursive=True):
+        with gzip.open(f, "rt") as fh:
+            events.extend(json.load(fh).get("traceEvents", []))
+    total = collections.Counter()
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        args = e.get("args") or {}
+        name = e.get("name", "")
+        # top-level XLA program events are named jit_<fn>(...) and carry an
+        # HLO long_name; everything else (fusions, whiles) nests inside them
+        if "long_name" in args and name.startswith("jit_"):
+            total[name.split("(")[0]] += e["dur"]
+    if not total:
+        raise RuntimeError(f"no device program events found in {trace_dir}")
+    return sum(total.values())
+
+
+def device_seconds_per_step(step_thunk, n: int = 5) -> float:
+    """Run `step_thunk` n times under the profiler; return device s/step.
+
+    step_thunk() must perform exactly one jitted training/eval step and
+    return a value to block on."""
+    trace_dir = tempfile.mkdtemp(prefix="tm_devtime_")
+    try:
+        with jax.profiler.trace(trace_dir):
+            out = None
+            for _ in range(n):
+                out = step_thunk()
+            jax.block_until_ready(out)
+        return _device_us_per_program(trace_dir) / n / 1e6
+    finally:
+        shutil.rmtree(trace_dir, ignore_errors=True)
