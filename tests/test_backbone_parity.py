@@ -110,6 +110,50 @@ def test_espv2_whole_net_train_bn(torch, espv2_pair):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
+def test_espv2_running_stat_updates(torch, espv2_pair):
+    """collect_bn_updates reproduces torch's momentum-updated running
+    buffers after one train-mode forward (the reference trains the embed
+    net in .train() mode — kitti_mot.py:119-132)."""
+    import copy
+
+    from trackmpnn_tpu.backbones import espnetv2 as E
+    from trackmpnn_tpu.backbones.layers import collect_bn_updates
+
+    import jax
+
+    ref, _ = espv2_pair
+    ref = copy.deepcopy(ref)  # train-mode forward mutates buffers
+    # convert from the ref's CURRENT buffers (earlier train-mode tests in
+    # this module already moved them past the fixture-time conversion)
+    path = _save_state(torch, ref)
+    params = E.init_espnetv2_seg(jax.random.key(0), classes=8, s=1.0)
+    params = E.load_pretrained(params, path)
+    os.unlink(path)
+    ref.train()
+    for m in ref.modules():
+        if isinstance(m, torch.nn.Dropout2d):
+            m.p = 0.0
+    x = 0.5 * torch.randn(2, 3, 64, 64, generator=torch.Generator().manual_seed(6))
+    with torch.no_grad():
+        ref(x)
+    want = {k: v.numpy() for k, v in ref.state_dict().items()
+            if ".running_mean" in k or ".running_var" in k}
+
+    with collect_bn_updates() as bn_new:
+        E.apply_espnetv2_seg(params, x.permute(0, 2, 3, 1).numpy(), train=True)
+
+    checked = 0
+    for k, w in want.items():
+        ours = k if k in params else None
+        if ours is None:
+            continue  # e.g. aux classifier branches not in the port
+        assert ours in bn_new, f"no running-stat update captured for {ours}"
+        np.testing.assert_allclose(np.asarray(bn_new[ours]), w,
+                                   rtol=1e-4, atol=1e-5, err_msg=ours)
+        checked += 1
+    assert checked >= 20  # the net has dozens of BN layers
+
+
 # ------------------------------------------------------------------- dla ----
 @pytest.fixture(scope="module")
 def dla_pair(torch):

@@ -86,3 +86,69 @@ def test_embed_trainer_learns_ids(tmp_path):
         losses.append(loss)
     assert feats.shape == (8, 32)
     assert losses[-1] < losses[0]
+
+
+def _tiny_chunk(tmp_path, cv2, frames=4):
+    imdir = tmp_path / "bn_ims"
+    imdir.mkdir()
+    rng = np.random.default_rng(3)
+    paths = []
+    for fr in range(frames):
+        img = rng.integers(0, 255, (32, 64, 3), np.uint8)
+        p = str(imdir / f"{fr}.png")
+        cv2.imwrite(p, img)
+        paths.append(p)
+    vis_meta = {
+        "images": [(p, False) for p in paths],
+        "centers": [(np.array([12, 12]), np.array([12, 48]))] * frames,
+        "counts": [2] * frames,
+    }
+    tids = np.array([0, 1] * frames, np.int32)
+    return vis_meta, tids
+
+
+def test_embed_bn_buffers_protected_from_optimizer(tmp_path):
+    """BN running buffers live in the params dict but are torch *buffers*:
+    Adam + weight decay must never move them (espv2 has wd=5e-4, which
+    would silently shrink them toward zero every step)."""
+    import cv2
+
+    from trackmpnn_tpu.train.embed import EmbedTrainer
+
+    vis_meta, tids = _tiny_chunk(tmp_path, cv2)
+    et = EmbedTrainer(arch="espv2", num_vis_feats=16, input_hw=(32, 64),
+                      max_dets=32)
+    bufs0 = {k: np.asarray(v).copy() for k, v in et.params.items()
+             if ".running_" in k}
+    assert bufs0, "espv2 params should contain running buffers"
+    w = "net.level1.conv.weight"
+    w0 = np.asarray(et.params[w]).copy()
+    for _ in range(3):
+        et.train_chunk(vis_meta, tids)
+    for k, v0 in bufs0.items():
+        np.testing.assert_array_equal(np.asarray(et.params[k]), v0, err_msg=k)
+    assert not np.allclose(np.asarray(et.params[w]), w0)  # weights DID move
+
+
+def test_embed_train_bn_updates_buffers(tmp_path):
+    """train_bn=True (reference .train() semantics) folds momentum-updated
+    running statistics back into params each step and still learns."""
+    import cv2
+
+    from trackmpnn_tpu.train.embed import EmbedTrainer
+
+    vis_meta, tids = _tiny_chunk(tmp_path, cv2)
+    et = EmbedTrainer(arch="espv2", num_vis_feats=16, input_hw=(32, 64),
+                      max_dets=32, train_bn=True)
+    bufs0 = {k: np.asarray(v).copy() for k, v in et.params.items()
+             if ".running_" in k}
+    losses = []
+    for _ in range(6):
+        _, loss = et.train_chunk(vis_meta, tids)
+        losses.append(loss)
+    moved = sum(not np.allclose(np.asarray(et.params[k]), v0)
+                for k, v0 in bufs0.items())
+    assert moved >= len(bufs0) // 2  # nearly all buffers tracked batch stats
+    for k in bufs0:
+        assert np.all(np.isfinite(np.asarray(et.params[k]))), k
+    assert losses[-1] < losses[0]

@@ -43,9 +43,7 @@ def add_plain_bn(params, name, c):
 def conv_bn_relu(params, conv_name, bn_name, x, stride=1, dilation=1, relu=True,
                  train=False):
     x = L.conv2d(x, params[f"{conv_name}.weight"], stride=stride, dilation=dilation)
-    x = L.batchnorm2d(x, params[f"{bn_name}.weight"], params[f"{bn_name}.bias"],
-                      params[f"{bn_name}.running_mean"], params[f"{bn_name}.running_var"],
-                      train)
+    x = L.bn2d(params, bn_name, x, train)
     return jax.nn.relu(x) if relu else x
 
 
@@ -205,9 +203,7 @@ def apply_deform_block(params, name, x, train=False):
         "offset_bias": params[f"{name}.conv.conv_offset_mask.bias"],
     }
     x = DC.apply_dcn(p, x)
-    x = L.batchnorm2d(x, params[f"{name}.actf.0.weight"], params[f"{name}.actf.0.bias"],
-                      params[f"{name}.actf.0.running_mean"],
-                      params[f"{name}.actf.0.running_var"], train)
+    x = L.bn2d(params, f"{name}.actf.0", x, train)
     return jax.nn.relu(x)
 
 

@@ -45,6 +45,52 @@ def batchnorm2d(x, gamma, beta, mean, var, train=False):
     return (x - m) * jax.lax.rsqrt(v + BN_EPS) * gamma + beta
 
 
+# torch-parity running-stat updates: BN buffers are NOT parameters.  In
+# train mode torch normalizes by biased batch stats and folds the unbiased
+# variance into the running buffers with this momentum.
+BN_MOMENTUM = 0.1
+_BN_UPDATES = None  # active collector dict (param name -> updated buffer)
+
+
+class collect_bn_updates:
+    """Context manager capturing momentum-updated running statistics for
+    every train-mode bn2d call, keyed by flat param name.  Trace-safe: the
+    captured values are tracers that the caller returns as outputs."""
+
+    def __init__(self):
+        self.updates = {}
+
+    def __enter__(self):
+        global _BN_UPDATES
+        self._prev = _BN_UPDATES
+        _BN_UPDATES = self.updates
+        return self.updates
+
+    def __exit__(self, *exc):
+        global _BN_UPDATES
+        _BN_UPDATES = self._prev
+        return False
+
+
+def bn2d(params, prefix, x, train=False):
+    """Name-aware BN2d over flat params ('<prefix>.weight/.bias/
+    .running_mean/.running_var').  Running buffers are treated as torch
+    buffers: stop-gradient in eval mode (they must never receive optimizer
+    updates), and momentum-updated values are recorded into the active
+    collect_bn_updates context in train mode."""
+    gamma, beta = params[f"{prefix}.weight"], params[f"{prefix}.bias"]
+    rm, rv = params[f"{prefix}.running_mean"], params[f"{prefix}.running_var"]
+    if train:
+        m, v_b, v_u = bn_train_stats(x)
+        if _BN_UPDATES is not None:
+            _BN_UPDATES[f"{prefix}.running_mean"] = (1 - BN_MOMENTUM) * rm + BN_MOMENTUM * m
+            _BN_UPDATES[f"{prefix}.running_var"] = (1 - BN_MOMENTUM) * rv + BN_MOMENTUM * v_u
+        mean, var = m, v_b
+    else:
+        mean, var = jax.lax.stop_gradient(rm), jax.lax.stop_gradient(rv)
+    return (x - mean) * jax.lax.rsqrt(var + BN_EPS) * gamma + beta
+
+
 def bn_train_stats(x):
     """(batch_mean, biased_var, unbiased_var) over N,H,W for running-stat updates."""
     m = jnp.mean(x, axis=(0, 1, 2))
@@ -123,23 +169,17 @@ def add_prelu(params, name, c):
 def apply_cbr(params, name, x, stride=1, groups=1, dilation=1, train=False):
     x = conv2d(x, params[f"{name}.conv.weight"], stride=stride, groups=groups,
                dilation=dilation)
-    x = batchnorm2d(x, params[f"{name}.bn.weight"], params[f"{name}.bn.bias"],
-                    params[f"{name}.bn.running_mean"], params[f"{name}.bn.running_var"],
-                    train)
+    x = bn2d(params, f"{name}.bn", x, train)
     return prelu(x, params[f"{name}.act.weight"])
 
 
 def apply_cb(params, name, x, stride=1, groups=1, train=False):
     x = conv2d(x, params[f"{name}.conv.weight"], stride=stride, groups=groups)
-    return batchnorm2d(x, params[f"{name}.bn.weight"], params[f"{name}.bn.bias"],
-                       params[f"{name}.bn.running_mean"], params[f"{name}.bn.running_var"],
-                       train)
+    return bn2d(params, f"{name}.bn", x, train)
 
 
 def apply_br(params, name, x, train=False):
-    x = batchnorm2d(x, params[f"{name}.bn.weight"], params[f"{name}.bn.bias"],
-                    params[f"{name}.bn.running_mean"], params[f"{name}.bn.running_var"],
-                    train)
+    x = bn2d(params, f"{name}.bn", x, train)
     return prelu(x, params[f"{name}.act.weight"])
 
 

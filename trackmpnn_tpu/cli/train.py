@@ -67,7 +67,7 @@ def make_embed_trainer(args):
     from trackmpnn_tpu.train.embed import EmbedTrainer
 
     return EmbedTrainer(arch=args.embed_arch, input_hw=default_input_hw(args),
-                        seed=args.seed)
+                        seed=args.seed, train_bn=getattr(args, "train_bn", False))
 
 
 def attach_vis(features, vis_meta, embed, track_ids, train: bool):

@@ -52,58 +52,76 @@ class EmbedTrainer:
 
     def __init__(self, arch: str = "espv2", num_vis_feats: int = 128,
                  input_hw: Tuple[int, int] = (384, 1280), seed: int = 5,
-                 max_dets: int = 256):
+                 max_dets: int = 256, train_bn: bool = False):
         self.arch = arch
         self.num_vis_feats = num_vis_feats
         self.input_hw = input_hw
         self.max_dets = max_dets  # fixed gather capacity (bounds recompiles)
+        self.train_bn = train_bn
         key = jax.random.key(seed)
+        self._drop_key = jax.random.key(seed + 1)
         if arch == "espv2":
             from trackmpnn_tpu.backbones import espnetv2
 
             self.down_ratio = 1
             self.params = espnetv2.init_espnetv2_seg(key, classes=num_vis_feats)
-            self._apply = lambda p, x, train: espnetv2.apply_espnetv2_seg(
-                p, x, train=False)  # BN uses running stats; see note below
-            self.tx = optax.inject_hyperparams(_adam_l2)(
-                learning_rate=5e-4, weight_decay=5e-4)
+            self._apply = lambda p, x, train, rng: espnetv2.apply_espnetv2_seg(
+                p, x, train=train, drop_rng=rng)
+            lr, wd = 5e-4, 5e-4
         elif arch == "dla34":
             from trackmpnn_tpu.backbones import dla
 
             self.down_ratio = 4
             heads = {"trk": num_vis_feats}
             self.params = dla.init_dlaseg(key, heads)
-            self._apply = lambda p, x, train: dla.apply_dlaseg(
-                p, x, heads, train=False)["trk"]
-            self.tx = optax.inject_hyperparams(_adam_l2)(
-                learning_rate=1.25e-4, weight_decay=0.0)
+            self._apply = lambda p, x, train, rng: dla.apply_dlaseg(
+                p, x, heads, train=train)["trk"]
+            lr, wd = 1.25e-4, 0.0
         else:
             raise ValueError(f"unknown embed arch {arch!r}")
+        # BN running buffers live in the flat params dict for checkpoint/
+        # converter simplicity, but they are torch *buffers*: the optimizer
+        # must never touch them (weight decay would shrink them toward zero).
+        buf_mask = {k: ".running_" not in k for k in self.params}
+        self.tx = optax.inject_hyperparams(
+            lambda learning_rate, weight_decay: optax.masked(
+                _adam_l2(learning_rate, weight_decay), buf_mask)
+        )(learning_rate=lr, weight_decay=wd)
         self.opt_state = self.tx.init(self.params)
         self._step = self._build_step()
         self._infer = self._build_infer()
 
-    # NOTE on BN: backbone BatchNorms run on running statistics even during
-    # training here (frozen-BN fine-tuning).  The pretrained ImageNet stats
-    # are the sensible operating point for batch=chunk frames; revisit if a
-    # from-scratch backbone run is ever needed.
+    # NOTE on BN: by default backbone BatchNorms run on running statistics
+    # even during training (frozen-BN fine-tuning from the pretrained
+    # ImageNet stats).  train_bn=True switches to reference semantics
+    # (ref kitti_mot.py:119-132 trains the net in .train() mode): batch
+    # statistics normalize, and momentum-updated running buffers are
+    # collected from the traced forward and folded back into params.
 
     def _build_step(self):
         apply = self._apply
         tx = self.tx
         C = self.num_vis_feats
+        train_bn = self.train_bn
 
         @jax.jit
-        def step(params, opt_state, images, fr_of, cy, cx, track_ids, valid):
+        def step(params, opt_state, images, fr_of, cy, cx, track_ids, valid, rng):
             def loss_fn(p):
-                fmap = apply(p, images, True)            # [T, Hm, Wm, C]
+                from trackmpnn_tpu.backbones.layers import collect_bn_updates
+
+                with collect_bn_updates() as bn_new:
+                    fmap = apply(p, images, train_bn, rng)   # [T, Hm, Wm, C]
                 feats = fmap[fr_of, cy, cx]              # [Nmax, C]
                 loss = fairmot_id_loss(feats, track_ids, valid, C)
-                return loss, feats
+                return loss, (feats, bn_new)
 
-            (loss, feats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, (feats, bn_new)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+            if bn_new:  # fold momentum-updated running buffers back in
+                params = {**params, **{k: jax.lax.stop_gradient(v)
+                                       for k, v in bn_new.items()}}
             return params, opt_state, loss, jax.lax.stop_gradient(feats)
 
         return step
@@ -113,7 +131,7 @@ class EmbedTrainer:
 
         @jax.jit
         def run(params, images, fr_of, cy, cx):
-            fmap = apply(params, images, False)
+            fmap = apply(params, images, False, None)
             return fmap[fr_of, cy, cx]
 
         return run
@@ -147,10 +165,11 @@ class EmbedTrainer:
         images, fr_of, cy, cx, valid, n = self._pack(vis_meta)
         tids = np.full(len(valid), -1, np.int32)
         tids[:n] = track_ids[:n]
+        self._drop_key, rng = jax.random.split(self._drop_key)
         self.params, self.opt_state, loss, feats = self._step(
             self.params, self.opt_state, jnp.asarray(images),
             jnp.asarray(fr_of), jnp.asarray(cy), jnp.asarray(cx),
-            jnp.asarray(tids), jnp.asarray(valid),
+            jnp.asarray(tids), jnp.asarray(valid), rng,
         )
         return np.asarray(feats)[:n], float(loss)
 

@@ -63,6 +63,10 @@ def build_train_parser() -> argparse.ArgumentParser:
                    help="embedding-net input height (0 = dataset default)")
     p.add_argument("--embed-input-w", type=int, default=0,
                    help="embedding-net input width (0 = dataset default)")
+    p.add_argument("--train-bn", action="store_true", default=False,
+                   help="embed net uses live batch BN statistics while "
+                        "training (reference .train() semantics); default "
+                        "freezes BN to running stats")
     return p
 
 
