@@ -76,6 +76,121 @@ def measure(device_counts: List[int], windows_per_device: int = 2,
     return results
 
 
+def measure_time_shard(device_counts: List[int], repeats: int = 10,
+                       nhidden: int = 64, cap: int = 8192, frames: int = 24,
+                       tracks: int = 16) -> dict:
+    """Strong-scaling of the halo-exchange time-sharded window forward:
+    ONE window's slot axis is split across devices (same total work at
+    every device count), so efficiency = t_1 / (t_P) with ideal 1/P
+    compute per device + boundary-sized comm.  Also reports the plan's
+    comm volume vs the full-window all_gather it replaced."""
+    import jax
+
+    from trackmpnn_tpu.data.synthetic import make_sequence
+    from trackmpnn_tpu.graph.schedule import build_window_schedule
+    from trackmpnn_tpu.models import mpnn
+    from trackmpnn_tpu.parallel import make_mesh
+    from trackmpnn_tpu.parallel.time_shard import (
+        build_halo_plan, make_time_sharded_window)
+    import jax.numpy as jnp
+
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=nhidden)
+    feats, bp, _ = make_sequence(num_tracks=tracks, num_frames=frames,
+                                 seed=77, miss_rate=0.05, fp_rate=0.1)
+    ws = build_window_schedule(feats, bp[:, :2].astype(np.int64), cap=cap,
+                               t_cap=frames + 2)
+    edges = _live_edges(ws)
+    params = mpnn.init_params(jax.random.key(0), cfg)
+    stats = mpnn.init_batch_stats(cfg)
+
+    results = {}
+    for nd in device_counts:
+        if nd > len(jax.devices()) or cap % nd:
+            continue
+        plan = build_halo_plan(ws.is_det, ws.past, ws.fut, nd)
+        mesh = make_mesh({"time": nd}, jax.devices()[:nd])
+        fwd = make_time_sharded_window(mesh, cfg, n_steps=len(ws.n_before))
+        args = (params, stats, jnp.asarray(ws.is_det),
+                jnp.asarray(plan.past_ext), jnp.asarray(plan.fut_ext),
+                jnp.asarray(ws.feat), jnp.asarray(ws.n_before),
+                jnp.asarray(ws.n_after), jnp.asarray(plan.send_idx),
+                jnp.asarray(plan.send_valid))
+        logits, _, _ = fwd(*args)
+        jax.block_until_ready(logits)
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            logits, _, _ = fwd(*args)
+        jax.block_until_ready(logits)
+        dt = (time.perf_counter() - t0) / repeats
+        results[nd] = {
+            "edges_per_sec": edges / dt,
+            "step_ms": dt * 1000,
+            "halo_rows": plan.comm_rows,
+            "halo_bytes_round": plan.comm_bytes_per_round(nhidden),
+            "allgather_bytes_round": cap * nhidden * 4 * 2,
+        }
+
+    t1, nd1 = None, None
+    for nd in sorted(results):
+        if t1 is None:
+            t1, nd1 = results[nd]["step_ms"], nd
+        # strong scaling: speedup over the smallest measured count,
+        # normalized by the ideal 1/P compute split
+        results[nd]["speedup"] = t1 / results[nd]["step_ms"]
+        results[nd]["efficiency"] = (t1 / results[nd]["step_ms"]) / (nd / nd1)
+
+    # zero-collective control: identical per-row GRU work, NO exchange.
+    # On real chips this scales ~1/P; on the forced-host CPU mesh all
+    # "devices" share one core pool, so whatever efficiency the control
+    # loses is host contention, not halo-exchange cost.
+    ctrl = _measure_nocomm_control(
+        [nd for nd in device_counts if nd <= len(jax.devices()) and cap % nd == 0],
+        cap, len(ws.n_before), nhidden, repeats)
+    for nd, ms in ctrl.items():
+        if nd in results:
+            results[nd]["control_ms"] = ms
+            results[nd]["control_speedup"] = ctrl[min(ctrl)] / ms
+    return results
+
+
+def _measure_nocomm_control(device_counts, cap, n_steps, nhidden, repeats):
+    """shard_map'd scan of a GRU cell over 1/P of `cap` rows with zero
+    collectives - the pure-compute strong-scaling ceiling of the mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from trackmpnn_tpu.models import nn
+    from trackmpnn_tpu.parallel import make_mesh
+
+    params = nn.gru_init(jax.random.key(1), nhidden, nhidden)
+    out = {}
+    for nd in device_counts:
+        mesh = make_mesh({"time": nd}, jax.devices()[:nd])
+
+        def body(p, x):
+            def step(h, _):
+                return nn.gru_cell(p, x, h), None
+
+            h, _ = jax.lax.scan(step, x, None, length=n_steps)
+            return h
+
+        fwd = jax.jit(shard_map(body, mesh=mesh, in_specs=(P(), P("time")),
+                                out_specs=P("time"), check_vma=False))
+        x = jax.random.normal(jax.random.key(2), (cap, nhidden))
+        r = fwd(params, x)
+        jax.block_until_ready(r)
+        import time as _t
+
+        t0 = _t.perf_counter()
+        for _ in range(repeats):
+            r = fwd(params, x)
+        jax.block_until_ready(r)
+        out[nd] = (_t.perf_counter() - t0) / repeats * 1000
+    return out
+
+
 def _live_edges(ws) -> int:
     edge_pos = np.where(~ws.is_det[: ws.n_rows])[0]
     return int(sum(np.sum(edge_pos < ws.n_after[s]) for s in range(ws.n_steps)))
@@ -89,6 +204,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, nargs="+", default=None)
     p.add_argument("--repeats", type=int, default=10)
+    p.add_argument("--time-shard", action="store_true", default=False,
+                   help="strong-scale ONE window's slot axis (halo "
+                        "exchange) instead of weak-scaling data parallel")
     args = p.parse_args(argv)
     counts = args.devices
     if counts is None:
@@ -96,7 +214,10 @@ def main(argv=None):
         while c <= len(jax.devices()):
             counts.append(c)
             c *= 2
-    res = measure(counts, repeats=args.repeats)
+    if args.time_shard:
+        res = measure_time_shard(counts, repeats=args.repeats)
+    else:
+        res = measure(counts, repeats=args.repeats)
     print(json.dumps(res, indent=2, default=float))
     return res
 
