@@ -46,7 +46,11 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--msg-type", type=str, default="diff", help="diff/concat")
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--learning-rate", type=float, default=1e-4)
-    p.add_argument("--momentum", type=float, default=0.9)
+    # Parsed-but-unused in the reference too (training_options.py:27 — its
+    # Adam recipe never reads it); kept so reference config.json files load.
+    p.add_argument("--momentum", type=float, default=0.9,
+                   help="accepted for reference config compatibility; "
+                        "the Adam recipe (like the reference's) ignores it")
     p.add_argument("--weight-decay", type=float, default=5e-4)
     p.add_argument("--log-schedule", type=int, default=10)
     p.add_argument("--seed", type=int, default=5)

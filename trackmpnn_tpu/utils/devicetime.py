@@ -28,22 +28,30 @@ import jax
 
 
 def _device_us_per_program(trace_dir: str) -> float:
-    """Total duration of top-level jitted program executions, in us."""
-    events = []
+    """Total duration of top-level jitted program executions, in us.
+
+    Programs are the X-events on the "XLA Modules" thread of a /device:*
+    process (individual fusions/ops nest on the "XLA Ops" thread inside
+    them).  Identified via the trace's process/thread metadata - event
+    *args* are not stable across profiler versions (the long_name arg this
+    used to key on disappeared from module events on 2026-08-17)."""
+    total = collections.Counter()
     for f in glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                        recursive=True):
         with gzip.open(f, "rt") as fh:
-            events.extend(json.load(fh).get("traceEvents", []))
-    total = collections.Counter()
-    for e in events:
-        if e.get("ph") != "X" or "dur" not in e:
-            continue
-        args = e.get("args") or {}
-        name = e.get("name", "")
-        # top-level XLA program events are named jit_<fn>(...) and carry an
-        # HLO long_name; everything else (fusions, whiles) nests inside them
-        if "long_name" in args and name.startswith("jit_"):
-            total[name.split("(")[0]] += e["dur"]
+            events = json.load(fh).get("traceEvents", [])
+        dev_pids = {e.get("pid") for e in events
+                    if e.get("ph") == "M" and e.get("name") == "process_name"
+                    and str((e.get("args") or {}).get("name", "")
+                            ).startswith("/device:")}
+        mod_tracks = {(e.get("pid"), e.get("tid")) for e in events
+                      if e.get("ph") == "M" and e.get("name") == "thread_name"
+                      and e.get("pid") in dev_pids
+                      and (e.get("args") or {}).get("name") == "XLA Modules"}
+        for e in events:
+            if (e.get("ph") == "X" and "dur" in e
+                    and (e.get("pid"), e.get("tid")) in mod_tracks):
+                total[e.get("name", "").split("(")[0]] += e["dur"]
     if not total:
         raise RuntimeError(f"no device program events found in {trace_dir}")
     return sum(total.values())
