@@ -44,7 +44,13 @@ def two_frame_graph(cap, n0, n1, nfeats, rng):
 
 
 def append_frame(cap, n, is_det, past, fut, live, feat, active, n2, rng):
-    """Append a new frame: [edges (i*n2+j, active order) | dets_t2]."""
+    """Append a new frame: [edges (i*n2+j, active order) | dets_t2].
+
+    Pure: returns NEW arrays.  The step-1 inputs must never be mutated in
+    place — `jnp.asarray` may alias the numpy buffers and JAX dispatch is
+    async, so mutation races with the step-1 forward's materialization
+    (the original source of a hash-seed-dependent parity flake)."""
+    is_det, past, fut, live, feat = (a.copy() for a in (is_det, past, fut, live, feat))
     ne = len(active) * n2
     for k, d in enumerate(active):
         for j in range(n2):
@@ -59,7 +65,7 @@ def append_frame(cap, n, is_det, past, fut, live, feat, active, n2, rng):
         is_det[d] = True
         live[d] = True
         feat[d] = rng.normal(size=feat.shape[1]).astype(np.float32)
-    return n + ne + n2, new
+    return n + ne + n2, new, is_det, past, fut, live, feat
 
 
 @pytest.mark.parametrize("msg_type", ["diff", "concat"])
@@ -110,23 +116,21 @@ def test_two_step_recurrence_parity(rng, features):
     # frame 3: dets 0 (unassociated) and the whole last frame are active
     active = [0] + list(range(3 + 12, n))
     n2_count = 3
-    new_n, new_mask = append_frame(cap, n, is_det, past, fut, live, feat, active, n2_count, rng)
+    new_n, new_mask, is_det2, past2, fut2, live2, feat2 = append_frame(
+        cap, n, is_det, past, fut, live, feat, active, n2_count, rng
+    )
     g2 = GraphView(
-        is_det=jnp.asarray(is_det), past=jnp.asarray(past), fut=jnp.asarray(fut),
-        live=jnp.asarray(live), new=jnp.asarray(new_mask), feat=jnp.asarray(feat),
+        is_det=jnp.asarray(is_det2), past=jnp.asarray(past2), fut=jnp.asarray(fut2),
+        live=jnp.asarray(live2), new=jnp.asarray(new_mask), feat=jnp.asarray(feat2),
     )
     out2, _ = mpnn.forward(params, stats1, cfg, g2, out1.hidden, train=True)
 
     oracle = OracleModel(params, cfg)
-    _, o_logits1, o_h1 = oracle.forward(
-        feat, None, is_det, past, fut, np.asarray(g1.live), np.asarray(g1.live), True
-    )
-    _, o_logits2, o_h2 = oracle.forward(feat, o_h1, is_det, past, fut, live, new_mask, True)
+    _, o_logits1, o_h1 = oracle.forward(feat, None, is_det, past, fut, live, live, True)
+    _, o_logits2, o_h2 = oracle.forward(feat2, o_h1, is_det2, past2, fut2, live2, new_mask, True)
 
-    # tolerance allows XLA fusion-order variance across compilation contexts
-    # (two recurrent steps amplify reduction-order noise; values are O(1))
-    np.testing.assert_allclose(np.asarray(out2.logits)[:new_n], o_logits2[:new_n], rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(out2.hidden)[:new_n], o_h2[:new_n], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out2.logits)[:new_n], o_logits2[:new_n], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out2.hidden)[:new_n], o_h2[:new_n], rtol=1e-4, atol=1e-5)
 
 
 def test_gat_parity(rng):

@@ -46,7 +46,7 @@ def test_synthetic_mota(trained, hungarian):
     tracker = Tracker(params, stats, cfg,
                       TrackerConfig(cur_win_size=5, ret_win_size=5, hungarian=hungarian))
     accs = []
-    for seed in [100, 101]:
+    for seed in range(100, 106):
         feats, bbox_pred, bbox_gt = make_sequence(
             num_tracks=5, num_frames=12, seed=seed, miss_rate=0.05, fp_rate=0.05
         )
@@ -57,11 +57,14 @@ def test_synthetic_mota(trained, hungarian):
         assert acc is not None
         accs.append(acc)
     m = summarize(accs)
-    # a briefly-trained model on near-clean detections must track decently;
-    # thresholds leave margin for float-level training-trajectory drift
-    # across compiler/loss-formulation changes (observed range 0.54-0.82)
-    assert m["mota"] > 0.42, m
-    assert m["idf1"] > 0.42, m
+    # Averaged over 6 held-out sequences the aggregate metric is stable
+    # (per-seq variance 0.50-0.98 washes out); thresholds sit ~0.10-0.14
+    # below deterministic observed values (greedy 0.745/0.698, hungarian
+    # 0.865/0.847) so a >=15-point regression cannot hide.
+    if hungarian:
+        assert m["mota"] > 0.75 and m["idf1"] > 0.71, m
+    else:
+        assert m["mota"] > 0.60 and m["idf1"] > 0.56, m
 
 
 def test_tracker_empty_sequence(trained):
