@@ -4,6 +4,7 @@ zero offsets) + DLA-34/DLASeg structure tests."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as TF
 
@@ -133,3 +134,54 @@ def test_dlaseg_shapes():
     out = jax.jit(lambda p, x: dla.apply_dlaseg(p, x, {"trk": 16}, head_conv=32))(params, x)
     assert out["trk"].shape == (1, 16, 16, 16)  # down_ratio 4
     assert bool(jnp.all(jnp.isfinite(out["trk"])))
+
+
+# ---------------------------------------------- gather-free shifted warp ----
+@pytest.mark.parametrize("cfg", [(9, 11, 8, 6, 1, 1, 1), (12, 10, 4, 8, 2, 1, 1),
+                                 (13, 13, 8, 4, 1, 2, 2)])
+def test_shift_warp_matches_gather(rng, cfg):
+    """deform_conv2d_shift == deform_conv2d whenever offsets are in bound,
+    for values AND gradients (the shift path has a hand-written scan VJP)."""
+    H, W, Cin, Cout, stride, pad, dil = cfg
+    K = 3
+    Ho = (H + 2 * pad - dil * (K - 1) - 1) // stride + 1
+    Wo = (W + 2 * pad - dil * (K - 1) - 1) // stride + 1
+    x = jnp.asarray(rng.normal(size=(2, H, W, Cin)).astype(np.float32))
+    wgt = jnp.asarray(rng.normal(size=(9 * Cin, Cout)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(Cout,)).astype(np.float32))
+    off = rng.uniform(-3.9, 3.9, size=(2, Ho, Wo, 18))
+    # keep offsets off integer values so the hat subgradient is unambiguous
+    off = jnp.asarray(np.where(np.abs(off - np.round(off)) < 0.05, off + 0.1,
+                               off).astype(np.float32))
+    msk = jnp.asarray(rng.uniform(0.2, 1, size=(2, Ho, Wo, 9)).astype(np.float32))
+
+    kw = dict(stride=stride, padding=pad, dilation=dil)
+    ref = DC.deform_conv2d(x, wgt, b, off, msk, **kw)
+    got = DC.deform_conv2d_shift(x, wgt, b, off, msk, max_offset=4.0, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    f1 = lambda x_, w_, o_, m_: jnp.sum(jnp.cos(DC.deform_conv2d(x_, w_, b, o_, m_, **kw)))
+    f2 = lambda x_, w_, o_, m_: jnp.sum(jnp.cos(
+        DC.deform_conv2d_shift(x_, w_, b, o_, m_, max_offset=4.0, **kw)))
+    g1 = jax.grad(f1, (0, 1, 2, 3))(x, wgt, off, msk)
+    g2 = jax.grad(f2, (0, 1, 2, 3))(x, wgt, off, msk)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-3, atol=2e-4)
+
+
+def test_apply_dcn_shift_through_offset_conv(rng):
+    """max_offset= on the full DCNv2 op: grads through the offset/mask conv
+    match the gather path while every produced offset is inside the bound."""
+    H, W, Cin, Cout = 10, 12, 6, 5
+    x = jnp.asarray(rng.normal(size=(2, H, W, Cin)).astype(np.float32))
+    params = DC.init_dcn(jax.random.key(0), Cin, Cout)
+    params["offset_weight"] = 0.02 * jax.random.normal(
+        jax.random.key(1), params["offset_weight"].shape)
+    h1 = lambda p: jnp.sum(jnp.sin(DC.apply_dcn(p, x)))
+    h2 = lambda p: jnp.sum(jnp.sin(DC.apply_dcn(p, x, max_offset=6.0)))
+    d1, d2 = jax.grad(h1)(params), jax.grad(h2)(params)
+    for k in d1:
+        np.testing.assert_allclose(np.asarray(d2[k]), np.asarray(d1[k]),
+                                   rtol=1e-3, atol=1e-4)

@@ -195,14 +195,14 @@ def init_deform_block(params, key, name, cin, cout):
     add_plain_bn(params, f"{name}.actf.0", cout)
 
 
-def apply_deform_block(params, name, x, train=False):
+def apply_deform_block(params, name, x, train=False, dcn_max_offset=None):
     p = {
         "weight": params[f"{name}.conv.weight"],
         "bias": params[f"{name}.conv.bias"],
         "offset_weight": params[f"{name}.conv.conv_offset_mask.weight"],
         "offset_bias": params[f"{name}.conv.conv_offset_mask.bias"],
     }
-    x = DC.apply_dcn(p, x)
+    x = DC.apply_dcn(p, x, max_offset=dcn_max_offset)
     x = L.bn2d(params, f"{name}.actf.0", x, train)
     return jax.nn.relu(x)
 
@@ -217,14 +217,16 @@ def init_ida_up(params, key, name, o, channels, up_f):
         params[f"{name}.up_{i}.weight"] = jnp.asarray(w)  # [2f, 2f, 1, o]
 
 
-def apply_ida_up(params, name, layers, startp, endp, train=False):
+def apply_ida_up(params, name, layers, startp, endp, train=False,
+                 dcn_max_offset=None):
     for i in range(startp + 1, endp):
         r = i - startp
         f = params[f"{name}.up_{r}.weight"].shape[0] // 2  # static: kernel = 2f
-        x = apply_deform_block(params, f"{name}.proj_{r}", layers[i], train)
+        x = apply_deform_block(params, f"{name}.proj_{r}", layers[i], train,
+                               dcn_max_offset)
         x = depthwise_conv_transpose(x, params[f"{name}.up_{r}.weight"], f)
         layers[i] = apply_deform_block(params, f"{name}.node_{r}",
-                                       x + layers[i - 1], train)
+                                       x + layers[i - 1], train, dcn_max_offset)
 
 
 # ---------------------------------------------------------------- DLASeg ----
@@ -311,8 +313,15 @@ def load_pretrained(params: Dict, path: str, strip_prefix="module.") -> Dict:
 
 
 def apply_dlaseg(params, x, heads: Dict[str, int], head_conv: int = 256,
-                 down_ratio: int = 4, last_level: int = 5, train: bool = False):
-    """x: [N, H, W, 3].  Returns {head: [N, H/d, W/d, classes]}."""
+                 down_ratio: int = 4, last_level: int = 5, train: bool = False,
+                 dcn_max_offset=None):
+    """x: [N, H, W, 3].  Returns {head: [N, H/d, W/d, classes]}.
+
+    dcn_max_offset=None keeps exact arbitrary-offset DCN sampling (use for
+    converted reference checkpoints); a float bound switches every
+    DLAUp/IDAUp deform block to the gather-free shifted-warp kernel
+    (deform_conv.deform_conv2d_shift) — preferred when training from
+    scratch."""
     first = int(np.log2(down_ratio))
     layers = apply_dla34_base(params, x, train)
 
@@ -321,11 +330,11 @@ def apply_dlaseg(params, x, heads: Dict[str, int], head_conv: int = 256,
     n_idas = len(layers) - first - 1
     for i in range(n_idas):
         apply_ida_up(params, f"dla_up.ida_{i}", layers, len(layers) - i - 2,
-                     len(layers), train)
+                     len(layers), train, dcn_max_offset)
         out.insert(0, layers[-1])
 
     y = [out[i] for i in range(last_level - first)]
-    apply_ida_up(params, "ida_up", y, 0, len(y), train)
+    apply_ida_up(params, "ida_up", y, 0, len(y), train, dcn_max_offset)
 
     z = {}
     for head in heads:

@@ -52,7 +52,8 @@ class EmbedTrainer:
 
     def __init__(self, arch: str = "espv2", num_vis_feats: int = 128,
                  input_hw: Tuple[int, int] = (384, 1280), seed: int = 5,
-                 max_dets: int = 256, train_bn: bool = False):
+                 max_dets: int = 256, train_bn: bool = False,
+                 dcn_max_offset: float = 2.0):
         self.arch = arch
         self.num_vis_feats = num_vis_feats
         self.input_hw = input_hw
@@ -73,9 +74,16 @@ class EmbedTrainer:
 
             self.down_ratio = 4
             heads = {"trk": num_vis_feats}
+            # From-scratch training: the gather-free shifted-warp DCN
+            # (offsets clamped to +-dcn_max_offset, exact within the bound)
+            # replaces the serialized-gather sampling — 1.8x faster
+            # fwd+bwd per layer at the default bound (tools/bench_deform.py,
+            # docs/RESULTS.md).  Pass dcn_max_offset=None to run converted
+            # reference checkpoints bit-exactly (cost grows ~(2R+2)^2: the
+            # bound-free gather path wins again past R~4).
             self.params = dla.init_dlaseg(key, heads)
             self._apply = lambda p, x, train, rng: dla.apply_dlaseg(
-                p, x, heads, train=train)["trk"]
+                p, x, heads, train=train, dcn_max_offset=dcn_max_offset)["trk"]
             lr, wd = 1.25e-4, 0.0
         else:
             raise ValueError(f"unknown embed arch {arch!r}")
