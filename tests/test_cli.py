@@ -78,3 +78,27 @@ def test_output_dir_refuses_overwrite(tmp_path):
     os.makedirs(out)
     with pytest.raises(FileExistsError):
         parse_train_args(["--output-dir", out, "--dataset-root-path", "/nonexistent"])
+
+
+def test_train_all_centertrack(tmp_path):
+    """BASELINE config 2 surface: --category All --detections centertrack
+    (same file format as rrc in the reference — kitti_mot.py:342-364 — but
+    its own normalization table and the multi-class one-hot head)."""
+    from trackmpnn_tpu.data.synthetic import write_kitti_tree as lib_tree
+
+    root = str(tmp_path / "kitti")
+    lib_tree(root, num_seqs=21, num_frames=6, detections="centertrack",
+             num_tracks=4, seed=3)
+    out = str(tmp_path / "exp_ct")
+
+    from trackmpnn_tpu.cli import train as cli_train
+
+    history = cli_train.main([
+        "--dataset", "kitti", "--dataset-root-path", root,
+        "--output-dir", out, "--category", "All",
+        "--detections", "centertrack", "--feats", "2d+temp",
+        "--cur-win-size", "4", "--epochs", "1",
+        "--learning-rate", "0.001", "--num-hidden-feats", "16",
+    ])
+    assert len(history["loss"]) == 1 and np.isfinite(history["loss"][0])
+    assert os.path.exists(os.path.join(out, "track-mpnn_best.npz"))
