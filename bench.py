@@ -117,7 +117,11 @@ def bench_ours(schedules, cap, t_cap, on_tpu=True):
     stats = mpnn.init_batch_stats(cfg)
     tx = optim.make_optimizer(1e-4, 5e-4)
     opt_state = tx.init(params)
-    step = make_block_train_step(cfg, tx, tp_classifier=False)
+    # bf16 rectangles + matmuls (f32 accumulation) — the CLI batched default
+    import jax.numpy as jnp
+
+    step = make_block_train_step(cfg, tx, tp_classifier=False,
+                                 compute_dtype=jnp.bfloat16)
     bb = build_block_batch(schedules, t_cap)
 
     state = [params, stats, opt_state]

@@ -142,3 +142,33 @@ def test_block_rejects_gat():
     bb = build_block_batch(build(1), TCAP)
     with pytest.raises(ValueError):
         block_window_forward(params, stats, cfg, bb, True)
+
+
+def test_block_bf16_close_to_f32():
+    """compute_dtype=bf16 (the batched CLI default) must track f32: loss to
+    ~1e-2 relative and gradient direction per parameter.  bf16 only touches
+    the GRU matmul inputs and the edge-state carry; losses accumulate f32."""
+    import jax.numpy as jnp
+
+    from trackmpnn_tpu.train.block import block_window_forward
+
+    cfg, params, stats = _model()
+    schedules = build(3)
+    bb = build_block_batch(schedules, TCAP)
+
+    def loss_of(dt):
+        def f(p):
+            return block_window_forward(p, stats, cfg, bb, tp_classifier=True,
+                                        compute_dtype=dt)
+        (l, _), g = jax.value_and_grad(f, has_aux=True)(params)
+        return float(l), g
+
+    l32, g32 = loss_of(None)
+    l16, g16 = loss_of(jnp.bfloat16)
+    assert abs(l16 - l32) / abs(l32) < 1e-2, (l16, l32)
+    for a, b in zip(jax.tree_util.tree_leaves(g32), jax.tree_util.tree_leaves(g16)):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        if denom > 1e-12:
+            cos = float(np.dot(a, b) / denom)
+            assert cos > 0.99, cos

@@ -174,6 +174,7 @@ def main(argv: Optional[List[str]] = None):
     args = parse_train_args(argv)
 
     import jax
+    import jax.numpy as jnp
 
     from trackmpnn_tpu.utils.cache import enable_compilation_cache
 
@@ -230,9 +231,12 @@ def main(argv: Optional[List[str]] = None):
         from trackmpnn_tpu.train.block import (block_dims, build_block_batch,
                                                make_block_train_step)
 
-        step = make_block_train_step(cfg, tx, args.tp_classifier)
+        dt_lp = jnp.bfloat16 if getattr(args, "bf16", True) else None
+        step = make_block_train_step(cfg, tx, args.tp_classifier,
+                                     compute_dtype=dt_lp)
         block_dims_max = [0, 0, 0]  # growing buckets bound recompiles
-        log(f"block-structured batched training: {batch_windows} windows/step")
+        log(f"block-structured batched training: {batch_windows} windows/step"
+            + (" (bf16)" if dt_lp else ""))
     elif use_packed:
         # packed block-diagonal graphs (slower general path, needed for GAT)
         from trackmpnn_tpu.train.packed import make_packed_train_step, pack_schedules

@@ -31,6 +31,21 @@ def linear(params, x):
     return x @ params["w"] + params["b"]
 
 
+def matmul_lp(x, w, dtype=None):
+    """x @ w, optionally with the MXU fed in a lower precision.
+
+    dtype=None is a plain f32 dot.  dtype=bfloat16 casts BOTH operands to
+    bf16 and accumulates in f32 (preferred_element_type) — the standard
+    TPU mixed-precision contract: ~4x MXU rate on v5e, f32-accurate sums.
+    Gradients flow through the casts (bf16 wgrad/dgrad, cast back)."""
+    if dtype is None:
+        return x @ w
+    return jax.lax.dot_general(
+        x.astype(dtype), w.astype(dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 # ------------------------------------------------------------- batchnorm ----
 def batchnorm_init(n, dtype=jnp.float32):
     return {"gamma": jnp.ones((n,), dtype), "beta": jnp.zeros((n,), dtype)}
@@ -84,14 +99,16 @@ def gru_init(key, n_in, n_hidden, w_std=0.01, dtype=jnp.float32):
     }
 
 
-def gru_cell(params, x, h):
+def gru_cell(params, x, h, dtype=None):
     """torch.nn.GRUCell:  r,z gates sigmoid; n tanh with r-gated hidden path.
 
     h' = (1 - z) * n + z * h
-    """
+
+    dtype selects the matmul precision (see matmul_lp); gates/activations
+    stay f32 either way."""
     H = h.shape[-1]
-    gi = x @ params["w_ih"] + params["b_ih"]
-    gh = h @ params["w_hh"] + params["b_hh"]
+    gi = matmul_lp(x, params["w_ih"], dtype) + params["b_ih"]
+    gh = matmul_lp(h, params["w_hh"], dtype) + params["b_hh"]
     i_r, i_z, i_n = gi[..., :H], gi[..., H : 2 * H], gi[..., 2 * H :]
     h_r, h_z, h_n = gh[..., :H], gh[..., H : 2 * H], gh[..., 2 * H :]
     r = jax.nn.sigmoid(i_r + h_r)

@@ -273,13 +273,20 @@ def _per_window_bce_dual(scores_d, t_d, mask_d, scores_e, t_e, mask_e, B):
 
 def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                          bb: BlockBatch, tp_classifier: bool,
-                         train: bool = True, remat: bool = False):
+                         train: bool = True, remat: bool = False,
+                         compute_dtype=None):
     """Scan the window in dual layout; same contract as packed_window_forward.
 
     remat=True wraps the scan body in jax.checkpoint: the step is bandwidth-
     bound on [B*T, na, nt, H] scan residuals (profiled: ~6 stacked copies of
     the edge array per round), so recomputing the round in backward trades
-    cheap dense FLOPs for most of that HBM traffic."""
+    cheap dense FLOPs for most of that HBM traffic.
+
+    compute_dtype=jnp.bfloat16 carries the edge rectangles in bf16 and runs
+    the GRU matmuls at bf16 MXU rate with f32 accumulation (losses, CE,
+    logsumexp, BN and the output heads stay f32).  The f32 step profiles
+    ~31% matmul time at ~22% MXU occupancy, so this is the measured next
+    lever after the block reductions (CLAUDE.md perf log)."""
     if cfg.nattheads > 0:
         raise ValueError("block path does not support GAT heads; use packed")
     B, T = bb.n_windows, bb.t_cap
@@ -303,7 +310,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         widths.append(width)
 
     h_d0 = jnp.zeros((nD, nb * H), jnp.float32)
-    h_e0 = jnp.zeros((B * T, na_cap, nt_cap, nb * H), jnp.float32)
+    h_e0 = jnp.zeros((B * T, na_cap, nt_cap, nb * H),
+                     compute_dtype or jnp.float32)
 
     def step(carry, s):
         h_d, h_e, stats = carry
@@ -334,7 +342,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
             h_d_b = jnp.where(det_new[:, None], xt,
                               jnp.where(det_live[:, None], h_d_b, 0.0))
             h_e_b = jnp.where(em3[..., None],
-                              h_e[..., bi * H : (bi + 1) * H], 0.0)
+                              h_e[..., bi * H : (bi + 1) * H],
+                              jnp.zeros((), h_e.dtype))
 
             # -------- message-passing round, dual layout --------
             ha = h_d_b[bb.active_idx]               # [BT, na, H]
@@ -349,7 +358,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
             ns = jnp.where(em3[..., None], ns, 0.0)
             edge_out = nn.gru_cell(
                 bp["edge_gru"], ns.reshape(-1, ns.shape[-1]),
-                h_e_b.reshape(-1, H)).reshape(h_e_b.shape)
+                h_e_b.reshape(-1, H),
+                dtype=compute_dtype).reshape(em3.shape + (H,))
             edge_out = jnp.where(em3[..., None], edge_out, 0.0)
 
             # edge_support: +row sums to active dets, -col sums to new dets
@@ -361,7 +371,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
             vm = jnp.concatenate([(blk_live[:, None] & row_m).reshape(-1),
                                   (blk_live[:, None] & col_m).reshape(-1)])
             es = segment_sum(vals, seg, nD, mask=vm)
-            node_out = nn.gru_cell(bp["node_gru"], es, h_d_b)
+            node_out = nn.gru_cell(bp["node_gru"], es, h_d_b,
+                                   dtype=compute_dtype)
             hd_parts.append(jnp.where(det_live[:, None], node_out, 0.0))
             he_parts.append(edge_out)
         stats_new = {"branches": stats_new}
@@ -399,7 +410,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
               + jnp.sum(me & ~pred_e & (t_e == 1)))
 
         h_d_next = jnp.where(det_valid[:, None], h_d_out, h_d)
-        h_e_next = jnp.where(blk_valid[:, None, None, None], h_e_out, h_e)
+        h_e_next = jnp.where(blk_valid[:, None, None, None], h_e_out,
+                             h_e.astype(h_e_out.dtype)).astype(h_e.dtype)
         stats_next = jax.tree_util.tree_map(
             lambda a, b: jnp.where(any_valid, a, b), stats_new, stats)
         zero = jnp.float32(0.0)
@@ -420,16 +432,18 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
 
 
 def make_block_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool,
-                          remat: bool = True):
+                          remat: bool = True, compute_dtype=None):
     """jit'd full train step over a BlockBatch (drop-in for the packed one).
 
     remat defaults on: profiled on v5e it cuts the step 49.3 -> 38.4 ms
     (B=8, cap=4096) by dropping ~6 stacked [T, B*T, na, nt, H] scan
-    residuals; the recomputed round is dense and cheap."""
+    residuals; the recomputed round is dense and cheap.
+    compute_dtype: see block_window_forward (bf16 rectangles + matmuls)."""
 
     def loss_fn(params, batch_stats, bb):
         return block_window_forward(params, batch_stats, cfg, bb,
-                                    tp_classifier, remat=remat)
+                                    tp_classifier, remat=remat,
+                                    compute_dtype=compute_dtype)
 
     @jax.jit
     def step(params, batch_stats, opt_state, bb: BlockBatch):
