@@ -135,13 +135,75 @@ def test_block_train_step_converges():
     assert last < 0.5 * first, (first, last)
 
 
-def test_block_rejects_gat():
-    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=16, nattheads=2)
-    params = mpnn.init_params(jax.random.key(0), cfg)
-    stats = mpnn.init_batch_stats(cfg)
+def _gat_model(nattheads=2, seed=0):
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=16,
+                           nattheads=nattheads)
+    params = mpnn.init_params(jax.random.key(seed), cfg)
+    params = jax.tree_util.tree_map(
+        lambda l: l + 0.2 * jax.random.normal(jax.random.key(seed + 1), l.shape),
+        params)
+    return cfg, params, mpnn.init_batch_stats(cfg)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_block_gat_matches_packed(monkeypatch, train):
+    """GAT heads in dual layout == row layout (loss, aux, grads).
+
+    Attention dropout is neutralized (ATT_DROPOUT=0) because the two
+    layouts draw their keep masks in different shapes/orders; with it off,
+    the attention math must agree exactly."""
+    monkeypatch.setattr(mpnn, "ATT_DROPOUT", 0.0)
+    cfg, params, stats = _gat_model()
+    schedules = build(3)
+    pb = pack_schedules(schedules, CAP, TCAP)
+    bb = build_block_batch(schedules, TCAP)
+    rng = jax.random.key(11)
+
+    def run(fwd, batch):
+        def f(p):
+            return fwd(p, stats, cfg, batch, True, train=train, rng=rng)
+        (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, aux, grads
+
+    lp, ap, gp = run(packed_window_forward, pb)
+    lb, ab, gb = run(block_window_forward, bb)
+    np.testing.assert_allclose(float(lb), float(lp), rtol=1e-4)
+    np.testing.assert_allclose(float(ab["loss_ce"]), float(ap["loss_ce"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(ab["loss_f"]), float(ap["loss_f"]),
+                               rtol=1e-4, atol=1e-6)
+    for k in ("tp", "fp", "fn"):
+        assert int(ab[k]) == int(ap[k]), k
+    if train:
+        _assert_tree_close(gb, gp)
+        _assert_tree_close(ab["batch_stats"], ap["batch_stats"])
+
+
+def test_block_gat_dropout_trains():
+    """With real attention dropout the GAT block step runs and converges."""
+    cfg, params, stats = _gat_model(nattheads=1, seed=3)
+    tx = optim.make_optimizer(3e-3)
+    opt = tx.init(params)
+    step = make_block_train_step(cfg, tx, True)
+    bb = build_block_batch(build(3), TCAP)
+    rng = jax.random.key(0)
+    first = last = None
+    for i in range(40):
+        params, stats, opt, loss, aux = step(params, stats, opt, bb,
+                                             rng=jax.random.fold_in(rng, i))
+        assert np.isfinite(float(loss))
+        first = first if first is not None else float(loss)
+        last = float(loss)
+    assert last < 0.7 * first, (first, last)
+
+
+def test_block_gat_requires_rng_in_train():
+    cfg, params, stats = _gat_model()
     bb = build_block_batch(build(1), TCAP)
     with pytest.raises(ValueError):
-        block_window_forward(params, stats, cfg, bb, True)
+        block_window_forward(params, stats, cfg, bb, True, train=True)
+    # eval mode needs no rng
+    block_window_forward(params, stats, cfg, bb, True, train=False)
 
 
 def test_block_bf16_close_to_f32():

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,3 +76,20 @@ def test_segment_logsumexp_softmax(rng):
                 sm[(ids == s) & mask], np.exp(sel - want), rtol=1e-5, atol=1e-6
             )
     assert np.all(sm[~mask] == 0)
+
+
+def test_segment_softmax_grad_finite_with_empty_last_bucket():
+    """Regression: masked rows clip their segment id onto the LAST bucket;
+    if that bucket is empty its lse is -1e30 and the unclamped exp produced
+    inf forward values that became inf * 0 = NaN under grad (hit by GAT
+    training with padded detection capacity)."""
+    vals = jnp.asarray([0.5, -0.3, 1.2, 0.0], jnp.float32)
+    ids = jnp.asarray([0, 0, 1, 5], jnp.int32)   # bucket 5 (last) masked-only
+    mask = jnp.asarray([True, True, True, False])
+
+    def f(v):
+        sm = segment_softmax(v, ids, 6, mask=mask)
+        return jnp.sum(sm * jnp.asarray([1.0, 2.0, 3.0, 4.0]))
+
+    g = jax.grad(f)(vals)
+    assert np.all(np.isfinite(np.asarray(g))), g

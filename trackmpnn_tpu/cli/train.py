@@ -223,11 +223,12 @@ def main(argv: Optional[List[str]] = None):
     batch_windows = max(args.batch_windows, 1)
     use_batched = batch_windows > 1 or mesh_axes is not None
     use_packed = use_batched and mesh_axes is None
-    use_block = use_packed and cfg.nattheads == 0
+    # TM_PACKED=1 forces the slower packed block-diagonal path (A/B debugging)
+    use_block = use_packed and os.environ.get("TM_PACKED", "0") != "1"
     if use_block:
         # single-device batching, block-structured fast path: the graph is a
-        # union of complete-bipartite rectangles, so message passing and the
-        # losses run scatter-free in dual layout (see train/block.py)
+        # union of complete-bipartite rectangles, so message passing, the GAT
+        # softmax and the losses run scatter-free in dual layout (train/block.py)
         from trackmpnn_tpu.train.block import (block_dims, build_block_batch,
                                                make_block_train_step)
 
@@ -238,7 +239,7 @@ def main(argv: Optional[List[str]] = None):
         log(f"block-structured batched training: {batch_windows} windows/step"
             + (" (bf16)" if dt_lp else ""))
     elif use_packed:
-        # packed block-diagonal graphs (slower general path, needed for GAT)
+        # packed block-diagonal graphs (row-layout general path, TM_PACKED=1)
         from trackmpnn_tpu.train.packed import make_packed_train_step, pack_schedules
 
         step = make_packed_train_step(cfg, tx, args.tp_classifier)

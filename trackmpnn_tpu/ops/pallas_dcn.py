@@ -134,7 +134,7 @@ def deform_conv2d_shift_pallas(x, weight, bias, offset, mask, *,
             pl.BlockSpec((KK, TH, W), lambda i: (0, i, 0)),
             pl.BlockSpec((KK, TH, W), lambda i: (0, i, 0)),
             pl.BlockSpec((KK * Cp, Cout), lambda i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((TH, W, Cout), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nt * TH, W, Cout), jnp.float32),

@@ -93,9 +93,16 @@ def segment_logsumexp(logits, segment_ids, num_segments, mask=None):
 
 
 def segment_softmax(logits, segment_ids, num_segments, mask=None):
-    """Per-segment softmax over rows; masked rows get 0."""
+    """Per-segment softmax over rows; masked rows get 0.
+
+    The lse is clamped before exponentiation: a masked row whose clipped
+    segment id lands on an EMPTY bucket would otherwise see exp(x + 1e30)
+    = inf in the (masked-out) forward value, and the backward pass turns
+    that into inf * 0 = NaN gradients.  Unmasked rows always belong to a
+    non-empty segment, so the clamp never changes a real output."""
     lse = segment_logsumexp(logits, segment_ids, num_segments, mask=mask)
-    out = jnp.exp(logits - lse[jnp.clip(segment_ids, 0, num_segments - 1)])
+    safe_lse = jnp.where(lse > _NEG_LARGE / 2, lse, 0.0)
+    out = jnp.exp(logits - safe_lse[jnp.clip(segment_ids, 0, num_segments - 1)])
     if mask is not None:
         out = jnp.where(mask, out, 0.0)
     return out

@@ -21,8 +21,9 @@ of dense rectangles and none of the per-edge index chasing is necessary:
     scatter at all; the future sets touch only active lists.
 
 Semantics are identical to packed_window_forward (tests/test_block_step.py
-pins loss, aux and grads); supported configs: msg 'diff'/'concat', no GAT
-heads (the GAT path falls back to the packed step).
+pins loss, aux and grads); supported configs: msg 'diff'/'concat', with or
+without GAT attention heads (the GAT softmax over a detection's incident
+edges decomposes over the same rectangles - see _block_gat_support).
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ import numpy as np
 
 from trackmpnn_tpu.losses.losses import EPS
 from trackmpnn_tpu.models import mpnn, nn
-from trackmpnn_tpu.ops import segment_min, segment_sum
+from trackmpnn_tpu.ops import segment_max, segment_min, segment_sum
 
 _BIG = np.float32(1 << 30)  # larger than any slot row id (exact in f32)
 
@@ -260,6 +261,61 @@ def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, det_live,
     return targets_d, targets_e, ce_past + ce_fut
 
 
+def _block_gat_support(gat_params, h_d_b, h_e_b, bb: BlockBatch, em3,
+                       seg, vm, nD, drop_rng, train):
+    """GAT-attention edge_support in dual layout (ref layers.py:7-46).
+
+    A detection's incident edge set is the union of its block ROWS (it is
+    the past endpoint, sign +1) and its introduction block's COLUMN (future
+    endpoint, sign -1), so the per-detection softmax over that set is two
+    dense rectangle reductions plus one segment max/sum over the active/new
+    index lists - the exact communication pattern of the signed
+    edge_support, still scatter-free.  Matches mpnn._gat_head numerics
+    (leaky-relu scores from |h_att[past]-h_att[fut]| @ a, softmax per
+    endpoint, p=0.5 train-time dropout on the attention weights, signed
+    aggregation of incident edge hiddens, mean over heads); the dropout
+    RNG stream differs from the row layout (two draws per head instead of
+    one [2N] draw) - identical in distribution.
+    """
+    H = h_d_b.shape[-1]
+    NEG = jnp.float32(-1e30)
+    acc = None
+    for hi, hp in enumerate(gat_params):
+        h_att = h_d_b @ hp["W_att"]                          # [nD, H]
+        ha = h_att[bb.active_idx]                            # [BT, na, H]
+        hn = h_att[bb.newdet_idx]                            # [BT, nt, H]
+        a_in = jnp.abs(ha[:, :, None, :] - hn[:, None, :, :])
+        e = jax.nn.leaky_relu((a_in @ hp["a"])[..., 0], mpnn.LEAKY_ALPHA)
+        e_m = jnp.where(em3, e, NEG)
+        rmax = jnp.max(e_m, axis=2)                          # [BT, na]
+        cmax = jnp.max(e_m, axis=1)                          # [BT, nt]
+        m_d = segment_max(jnp.concatenate([rmax.reshape(-1), cmax.reshape(-1)]),
+                          seg, nD, mask=vm)                  # [nD]
+        safe_m = jnp.where(m_d > NEG / 2, m_d, 0.0)
+        ea = jnp.where(em3, jnp.exp(e - safe_m[bb.active_idx][:, :, None]), 0.0)
+        en = jnp.where(em3, jnp.exp(e - safe_m[bb.newdet_idx][:, None, :]), 0.0)
+        z = segment_sum(jnp.concatenate([jnp.sum(ea, 2).reshape(-1),
+                                         jnp.sum(en, 1).reshape(-1)]),
+                        seg, nD, mask=vm)                    # [nD]
+        att_a = ea / jnp.maximum(z[bb.active_idx][:, :, None], 1e-30)
+        att_n = en / jnp.maximum(z[bb.newdet_idx][:, None, :], 1e-30)
+        if train and mpnn.ATT_DROPOUT > 0.0:
+            keep = 1.0 - mpnn.ATT_DROPOUT
+            ka = jax.random.bernoulli(jax.random.fold_in(drop_rng, 2 * hi),
+                                      keep, att_a.shape)
+            kn = jax.random.bernoulli(jax.random.fold_in(drop_rng, 2 * hi + 1),
+                                      keep, att_n.shape)
+            att_a = att_a * ka / keep
+            att_n = att_n * kn / keep
+        rs = jnp.sum(att_a[..., None] * h_e_b, axis=2)       # [BT, na, H]
+        cs = jnp.sum(att_n[..., None] * h_e_b, axis=1)       # [BT, nt, H]
+        es = segment_sum(
+            jnp.concatenate([rs.reshape(-1, H), -cs.reshape(-1, H)]),
+            seg, nD, mask=vm)
+        acc = es if acc is None else acc + es
+    return acc / len(gat_params)
+
+
 def _per_window_bce_dual(scores_d, t_d, mask_d, scores_e, t_e, mask_e, B):
     """Sum over windows of the window's masked-mean BCE across BOTH layouts
     (matches packed._per_window_bce on the union of det + edge rows)."""
@@ -274,7 +330,7 @@ def _per_window_bce_dual(scores_d, t_d, mask_d, scores_e, t_e, mask_e, B):
 def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                          bb: BlockBatch, tp_classifier: bool,
                          train: bool = True, remat: bool = False,
-                         compute_dtype=None):
+                         compute_dtype=None, rng=None):
     """Scan the window in dual layout; same contract as packed_window_forward.
 
     remat=True wraps the scan body in jax.checkpoint: the step is bandwidth-
@@ -286,9 +342,13 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     the GRU matmuls at bf16 MXU rate with f32 accumulation (losses, CE,
     logsumexp, BN and the output heads stay f32).  The f32 step profiles
     ~31% matmul time at ~22% MXU occupancy, so this is the measured next
-    lever after the block reductions (CLAUDE.md perf log)."""
-    if cfg.nattheads > 0:
-        raise ValueError("block path does not support GAT heads; use packed")
+    lever after the block reductions (CLAUDE.md perf log).
+
+    rng: PRNG key for GAT attention dropout (required when training with
+    cfg.nattheads > 0, like the packed path)."""
+    if train and cfg.nattheads > 0 and rng is None:
+        raise ValueError("training with GAT heads needs an rng key for "
+                         "attention dropout (pass rng=...)")
     B, T = bb.n_windows, bb.t_cap
     capD, na_cap, nt_cap = bb.capD, bb.na_cap, bb.nt_cap
     nD = B * capD
@@ -299,6 +359,10 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     blk_step = jnp.arange(B * T, dtype=jnp.int32) % T
     row_m = jnp.arange(na_cap, dtype=jnp.int32)[None, :] < bb.blk_na[:, None]
     col_m = jnp.arange(nt_cap, dtype=jnp.int32)[None, :] < bb.blk_nt[:, None]
+    # incident-union segment ids (active rows then new-det cols): shared by
+    # the signed edge_support and the GAT softmax, invariant across steps
+    seg = jnp.concatenate([bb.active_idx.reshape(-1),
+                           bb.newdet_idx.reshape(-1)])
 
     # lin1 is step-independent: hoist it out of the scan (one tiny matmul)
     y1s, widths = [], []
@@ -324,6 +388,9 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         blk_live = (blk_step <= s) & blk_valid & (bb.blk_nt > 0)
         blk_new = (blk_step == s) & blk_valid
         em3 = blk_live[:, None, None] & row_m[:, :, None] & col_m[:, None, :]
+        vm = jnp.concatenate([(blk_live[:, None] & row_m).reshape(-1),
+                              (blk_live[:, None] & col_m).reshape(-1)])
+        rng_s = jax.random.fold_in(rng, s) if rng is not None else None
 
         n_phantom = jnp.sum(jnp.where(blk_new, bb.blk_na * bb.blk_nt, 0))
 
@@ -362,15 +429,17 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                 dtype=compute_dtype).reshape(em3.shape + (H,))
             edge_out = jnp.where(em3[..., None], edge_out, 0.0)
 
-            # edge_support: +row sums to active dets, -col sums to new dets
-            rs = jnp.sum(jnp.where(em3[..., None], h_e_b, 0.0), axis=2)
-            cs = jnp.sum(jnp.where(em3[..., None], h_e_b, 0.0), axis=1)
-            seg = jnp.concatenate([bb.active_idx.reshape(-1),
-                                   bb.newdet_idx.reshape(-1)])
-            vals = jnp.concatenate([rs.reshape(-1, H), -cs.reshape(-1, H)])
-            vm = jnp.concatenate([(blk_live[:, None] & row_m).reshape(-1),
-                                  (blk_live[:, None] & col_m).reshape(-1)])
-            es = segment_sum(vals, seg, nD, mask=vm)
+            if cfg.nattheads > 0:
+                rng_sb = (jax.random.fold_in(rng_s, bi)
+                          if rng_s is not None else None)
+                es = _block_gat_support(bp["gat"], h_d_b, h_e_b, bb, em3,
+                                        seg, vm, nD, rng_sb, train)
+            else:
+                # edge_support: +rows to active dets, -cols to new dets
+                rs = jnp.sum(jnp.where(em3[..., None], h_e_b, 0.0), axis=2)
+                cs = jnp.sum(jnp.where(em3[..., None], h_e_b, 0.0), axis=1)
+                vals = jnp.concatenate([rs.reshape(-1, H), -cs.reshape(-1, H)])
+                es = segment_sum(vals, seg, nD, mask=vm)
             node_out = nn.gru_cell(bp["node_gru"], es, h_d_b,
                                    dtype=compute_dtype)
             hd_parts.append(jnp.where(det_live[:, None], node_out, 0.0))
@@ -440,15 +509,15 @@ def make_block_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool,
     residuals; the recomputed round is dense and cheap.
     compute_dtype: see block_window_forward (bf16 rectangles + matmuls)."""
 
-    def loss_fn(params, batch_stats, bb):
+    def loss_fn(params, batch_stats, bb, rng):
         return block_window_forward(params, batch_stats, cfg, bb,
                                     tp_classifier, remat=remat,
-                                    compute_dtype=compute_dtype)
+                                    compute_dtype=compute_dtype, rng=rng)
 
     @jax.jit
-    def step(params, batch_stats, opt_state, bb: BlockBatch):
+    def step(params, batch_stats, opt_state, bb: BlockBatch, rng=None):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, bb)
+            params, batch_stats, bb, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, aux["batch_stats"], opt_state, loss, {
