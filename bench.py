@@ -117,11 +117,14 @@ def bench_ours(schedules, cap, t_cap, on_tpu=True):
     stats = mpnn.init_batch_stats(cfg)
     tx = optim.make_optimizer(1e-4, 5e-4)
     opt_state = tx.init(params)
-    # bf16 rectangles + matmuls (f32 accumulation) — the CLI batched default
+    # bf16 rectangles + matmuls (f32 accumulation) + the fused Pallas round
+    # — the CLI batched defaults on TPU (interpret-mode Pallas off-TPU is
+    # slow, so the CPU smoke path keeps the XLA round, like the CLI)
     import jax.numpy as jnp
 
     step = make_block_train_step(cfg, tx, tp_classifier=False,
-                                 compute_dtype=jnp.bfloat16)
+                                 compute_dtype=jnp.bfloat16,
+                                 fused=jax.default_backend() == "tpu")
     bb = build_block_batch(schedules, t_cap)
 
     state = [params, stats, opt_state]

@@ -206,6 +206,44 @@ def test_block_gat_requires_rng_in_train():
     block_window_forward(params, stats, cfg, bb, True, train=False)
 
 
+@pytest.mark.parametrize("msg_type", ["diff", "concat"])
+def test_block_fused_round_matches_xla(msg_type):
+    """fused=True (Pallas round, interpret mode on CPU) == XLA block path:
+    loss, aux and grads."""
+    cfg, params, stats = _model(msg_type, seed=5)
+    schedules = build(3, seed0=10)
+    bb = build_block_batch(schedules, TCAP)
+
+    def run(fused):
+        def f(p):
+            return block_window_forward(p, stats, cfg, bb, True, fused=fused)
+        (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, aux, grads
+
+    lx, ax, gx = run(False)
+    lf, af, gf = run(True)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-4)
+    for k in ("tp", "fp", "fn"):
+        assert int(af[k]) == int(ax[k]), k
+    _assert_tree_close(gf, gx)
+
+
+def test_block_fused_train_step_converges():
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=16)
+    params = mpnn.init_params(jax.random.key(0), cfg)
+    stats = mpnn.init_batch_stats(cfg)
+    tx = optim.make_optimizer(3e-3)
+    opt = tx.init(params)
+    step = make_block_train_step(cfg, tx, True, fused=True)
+    bb = build_block_batch(build(4), TCAP)
+    first = last = None
+    for _ in range(60):
+        params, stats, opt, loss, aux = step(params, stats, opt, bb)
+        first = first if first is not None else float(loss)
+        last = float(loss)
+    assert last < 0.5 * first, (first, last)
+
+
 def test_block_bf16_close_to_f32():
     """compute_dtype=bf16 (the batched CLI default) must track f32: loss to
     ~1e-2 relative and gradient direction per parameter.  bf16 only touches

@@ -233,11 +233,16 @@ def main(argv: Optional[List[str]] = None):
                                                make_block_train_step)
 
         dt_lp = jnp.bfloat16 if getattr(args, "bf16", True) else None
+        # fused Pallas round: TPU-compiled kernel; interpret mode off-TPU is
+        # slow, so the CPU backend keeps the XLA round unless forced
+        fused = (getattr(args, "fused", True) and cfg.nattheads == 0
+                 and (jax.default_backend() == "tpu"
+                      or os.environ.get("TM_FUSED", "") == "1"))
         step = make_block_train_step(cfg, tx, args.tp_classifier,
-                                     compute_dtype=dt_lp)
+                                     compute_dtype=dt_lp, fused=fused)
         block_dims_max = [0, 0, 0]  # growing buckets bound recompiles
         log(f"block-structured batched training: {batch_windows} windows/step"
-            + (" (bf16)" if dt_lp else ""))
+            + (" (bf16)" if dt_lp else "") + (" (fused round)" if fused else ""))
     elif use_packed:
         # packed block-diagonal graphs (row-layout general path, TM_PACKED=1)
         from trackmpnn_tpu.train.packed import make_packed_train_step, pack_schedules

@@ -106,8 +106,19 @@ def gru_cell(params, x, h, dtype=None):
 
     dtype selects the matmul precision (see matmul_lp); gates/activations
     stay f32 either way."""
-    H = h.shape[-1]
     gi = matmul_lp(x, params["w_ih"], dtype) + params["b_ih"]
+    return gru_cell_gates(params, gi, h, dtype=dtype)
+
+
+def gru_cell_gates(params, gi, h, dtype=None):
+    """GRU cell with the input-side gates gi = x @ w_ih + b_ih precomputed.
+
+    Callers with structured inputs factorize that matmul: on a complete
+    bipartite edge block, x[i, j] = h[act_i] - h[new_j], so
+    gi[i, j] = gd[act_i] - gd[new_j] + b_ih with gd = h_dets @ w_ih -- one
+    detection-sized matmul + broadcasts instead of an edge-sized matmul
+    (see train/block.py)."""
+    H = h.shape[-1]
     gh = matmul_lp(h, params["w_hh"], dtype) + params["b_hh"]
     i_r, i_z, i_n = gi[..., :H], gi[..., H : 2 * H], gi[..., 2 * H :]
     h_r, h_z, h_n = gh[..., :H], gh[..., H : 2 * H], gh[..., 2 * H :]

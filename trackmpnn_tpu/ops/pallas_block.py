@@ -1,0 +1,232 @@
+"""Fused Pallas kernel for the block-structured message-passing round.
+
+The block train step (train/block.py) is HBM-round-trip bound on the
+[B*T, na, nt, H] edge rectangles: per round XLA materializes the h-side
+GRU gates (3H wide), the gate nonlinearities and the masked output as
+separate fusions, so the rectangle crosses HBM ~5-6 times.  This kernel
+performs the whole per-block round in VMEM:
+
+    gh       = (mask * h_e) @ w_hh + b_hh          (the ONE edge-sized matmul)
+    gi[i, j] = ga[i] + sign * gb[j]                (input gates, factorized:
+                                                    ga/gb are detection-sized
+                                                    and computed in XLA)
+    r, z     = sigmoid(gi_rz + gh_rz)
+    n        = tanh(gi_n + r * gh_n)
+    edge_out = mask * ((1 - z) * n + z * h_e)      (torch GRUCell order,
+                                                    ref models/layers.py:97)
+    rs, cs   = row / col sums of mask * h_e        (edge_support partials)
+
+so h_e is read once and edge_out written once per round — the minimal
+rectangle traffic.  The custom VJP recomputes the gates in a second kernel
+(no stacked residuals; pairs with the scan-level remat) and emits
+d h_e, d ga, d gb plus grid-accumulated d w_hh / d b_hh; gradients for the
+upstream detection matmul flow through ga/gb in XLA.
+
+Grid: BT is processed G blocks at a time (G static, default 8, padded).
+Matmuls feed the MXU in bf16 with f32 accumulation when mm_dtype is
+bfloat16, mirroring nn.matmul_lp.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# blocks per grid step: G=8 stack-OOMs the 16MB scoped VMEM in the backward
+# kernel at bench shapes (17.9M); G=4 fits and times 16.8 ms/step (bf16)
+DEFAULT_G = int(os.environ.get("TM_BLOCK_G", "4"))
+
+
+def _mm(x, w, mm_dtype):
+    """x @ w with optional bf16 MXU feed + f32 accumulation (nn.matmul_lp)."""
+    if mm_dtype is not None:
+        x = x.astype(mm_dtype)
+        w = w.astype(mm_dtype)
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _gates(he_m, ga, gb, whh, bhh, sign, mm_dtype):
+    """Recomputable gate stack; he_m is the masked f32 rectangle [G,na,nt,H]."""
+    G, na, nt, H = he_m.shape
+    gh = _mm(he_m.reshape(G * na * nt, H), whh, mm_dtype).reshape(
+        G, na, nt, 3 * H) + bhh
+    gi = ga[:, :, None, :] + sign * gb[:, None, :, :]
+    pre_r = gi[..., :H] + gh[..., :H]
+    pre_z = gi[..., H:2 * H] + gh[..., H:2 * H]
+    r = jax.nn.sigmoid(pre_r)
+    z = jax.nn.sigmoid(pre_z)
+    ghn = gh[..., 2 * H:]
+    n = jnp.tanh(gi[..., 2 * H:] + r * ghn)
+    return r, z, n, ghn
+
+
+def _fwd_kernel(he_ref, ga_ref, gb_ref, whh_ref, bhh_ref, m_ref,
+                eo_ref, rs_ref, cs_ref, *, sign, mm_dtype):
+    m = m_ref[:][..., None]                          # [G, na, nt, 1]
+    he_m = he_ref[:].astype(jnp.float32) * m
+    r, z, n, _ = _gates(he_m, ga_ref[:], gb_ref[:], whh_ref[:], bhh_ref[:],
+                        sign, mm_dtype)
+    eo_ref[:] = (((1.0 - z) * n + z * he_m) * m).astype(eo_ref.dtype)
+    rs_ref[:] = jnp.sum(he_m, axis=2)
+    cs_ref[:] = jnp.sum(he_m, axis=1)
+
+
+def _bwd_kernel(he_ref, ga_ref, gb_ref, whh_ref, whh_t_ref, bhh_ref, m_ref,
+                geo_ref, grs_ref, gcs_ref,
+                dhe_ref, dga_ref, dgb_ref, dwhh_ref, dbhh_ref,
+                *, sign, mm_dtype):
+    G, na, nt, H = he_ref.shape
+    m = m_ref[:][..., None]
+    he_m = he_ref[:].astype(jnp.float32) * m
+    r, z, n, ghn = _gates(he_m, ga_ref[:], gb_ref[:], whh_ref[:], bhh_ref[:],
+                          sign, mm_dtype)
+
+    go = geo_ref[:].astype(jnp.float32) * m          # d(pre-mask output)
+    dz = go * (he_m - n)
+    dpre_n = go * (1.0 - z) * (1.0 - n * n)
+    dgi_n = dpre_n
+    dpre_r = dpre_n * ghn * r * (1.0 - r)
+    dpre_z = dz * z * (1.0 - z)
+    dgh = jnp.concatenate([dpre_r, dpre_z, dpre_n * r], axis=-1)
+    dgi = jnp.concatenate([dpre_r, dpre_z, dgi_n], axis=-1)
+
+    dhe_m = (go * z
+             + _mm(dgh.reshape(G * na * nt, 3 * H), whh_t_ref[:],
+                   mm_dtype).reshape(G, na, nt, H)
+             + grs_ref[:][:, :, None, :] + gcs_ref[:][:, None, :, :])
+    dhe_ref[:] = (dhe_m * m).astype(dhe_ref.dtype)
+    dga_ref[:] = jnp.sum(dgi, axis=2)
+    dgb_ref[:] = sign * jnp.sum(dgi, axis=1)
+
+    dwhh = _mm(he_m.reshape(G * na * nt, H).T, dgh.reshape(G * na * nt, 3 * H),
+               mm_dtype)
+    dbhh = jnp.sum(dgh, axis=(0, 1, 2)).reshape(1, 3 * H)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwhh_ref[:] = dwhh
+        dbhh_ref[:] = dbhh
+
+    @pl.when(pl.program_id(0) > 0)
+    def _acc():
+        dwhh_ref[:] += dwhh
+        dbhh_ref[:] += dbhh
+
+
+def _pad_bt(x, bt_pad):
+    if x.shape[0] == bt_pad:
+        return x
+    pad = [(0, bt_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+def _specs(shapes, g):
+    """BlockSpecs slicing dim 0 in chunks of g blocks; full other dims."""
+    return [
+        pl.BlockSpec((g,) + s[1:],
+                     lambda i, nd=len(s): (i,) + (0,) * (nd - 1),
+                     memory_space=pltpu.VMEM)
+        for s in shapes
+    ]
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i, nd=len(shape): (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_block_round(h_e, ga, gb, w_hh, b_hh, mask3, sign, mm_dtype,
+                      g=DEFAULT_G, interpret=False):
+    """(edge_out, rs, cs) for one message-passing round over edge rectangles.
+
+    h_e [BT,na,nt,H] (f32/bf16); ga [BT,na,3H] / gb [BT,nt,3H] f32 input
+    gates (ga includes b_ih); mask3 [BT,na,nt] f32 0/1; sign +-1.0 applies
+    to gb ('diff' = -1.0).  Returns edge_out in h_e's dtype, rs/cs f32.
+    """
+    out, _ = _fwd(h_e, ga, gb, w_hh, b_hh, mask3, sign, mm_dtype, g,
+                  interpret)
+    return out
+
+
+def _fwd(h_e, ga, gb, w_hh, b_hh, mask3, sign, mm_dtype, g, interpret):
+    BT, na, nt, H = h_e.shape
+    bt_pad = -(-BT // g) * g
+    he_p, ga_p, gb_p, m_p = (_pad_bt(x, bt_pad) for x in (h_e, ga, gb, mask3))
+    bhh2 = b_hh.reshape(1, 3 * H)
+
+    kernel = functools.partial(_fwd_kernel, sign=sign, mm_dtype=mm_dtype)
+    eo, rs, cs = pl.pallas_call(
+        kernel,
+        grid=(bt_pad // g,),
+        in_specs=_specs([he_p.shape, ga_p.shape, gb_p.shape], g)
+        + [_const_spec(w_hh.shape), _const_spec(bhh2.shape)]
+        + _specs([m_p.shape], g),
+        out_specs=tuple(_specs([(bt_pad, na, nt, H), (bt_pad, na, H),
+                                (bt_pad, nt, H)], g)),
+        out_shape=(
+            jax.ShapeDtypeStruct((bt_pad, na, nt, H), h_e.dtype),
+            jax.ShapeDtypeStruct((bt_pad, na, H), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, nt, H), jnp.float32),
+        ),
+        interpret=interpret,
+    )(he_p, ga_p, gb_p, w_hh, bhh2, m_p)
+    out = (eo[:BT], rs[:BT], cs[:BT])
+    return out, (h_e, ga, gb, w_hh, b_hh, mask3)
+
+
+def _bwd(sign, mm_dtype, g, interpret, res, grads):
+    h_e, ga, gb, w_hh, b_hh, mask3 = res
+    g_eo, g_rs, g_cs = grads
+    BT, na, nt, H = h_e.shape
+    bt_pad = -(-BT // g) * g
+    he_p, ga_p, gb_p, m_p, geo_p, grs_p, gcs_p = (
+        _pad_bt(x, bt_pad)
+        for x in (h_e, ga, gb, mask3, g_eo, g_rs, g_cs))
+    bhh2 = b_hh.reshape(1, 3 * H)
+    whh_t = w_hh.T
+
+    kernel = functools.partial(_bwd_kernel, sign=sign, mm_dtype=mm_dtype)
+    dhe, dga, dgb, dwhh, dbhh = pl.pallas_call(
+        kernel,
+        grid=(bt_pad // g,),
+        in_specs=_specs([he_p.shape, ga_p.shape, gb_p.shape], g)
+        + [_const_spec(w_hh.shape), _const_spec(whh_t.shape),
+           _const_spec(bhh2.shape)]
+        + _specs([m_p.shape, geo_p.shape, grs_p.shape, gcs_p.shape], g),
+        out_specs=tuple(
+            _specs([(bt_pad, na, nt, H), (bt_pad, na, 3 * H),
+                    (bt_pad, nt, 3 * H)], g)
+            + [_const_spec((H, 3 * H)), _const_spec((1, 3 * H))]),
+        out_shape=(
+            jax.ShapeDtypeStruct((bt_pad, na, nt, H), h_e.dtype),
+            jax.ShapeDtypeStruct((bt_pad, na, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, nt, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
+        ),
+        interpret=interpret,
+    )(he_p, ga_p, gb_p, w_hh, whh_t, bhh2, m_p, geo_p, grs_p, gcs_p)
+    return (dhe[:BT], dga[:BT], dgb[:BT], dwhh, dbhh.reshape(3 * H),
+            jnp.zeros_like(mask3))
+
+
+fused_block_round.defvjp(_fwd, _bwd)
+
+
+def reference_block_round(h_e, ga, gb, w_hh, b_hh, mask3, sign,
+                          mm_dtype=None):
+    """Plain-XLA oracle with identical semantics (for parity tests)."""
+    H = h_e.shape[-1]
+    m = mask3[..., None]
+    he_m = h_e.astype(jnp.float32) * m
+    r, z, n, _ = _gates(he_m, ga, gb, w_hh, b_hh, sign, mm_dtype)
+    eo = (((1.0 - z) * n + z * he_m) * m).astype(h_e.dtype)
+    return eo, jnp.sum(he_m, axis=2), jnp.sum(he_m, axis=1)

@@ -330,7 +330,7 @@ def _per_window_bce_dual(scores_d, t_d, mask_d, scores_e, t_e, mask_e, B):
 def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                          bb: BlockBatch, tp_classifier: bool,
                          train: bool = True, remat: bool = False,
-                         compute_dtype=None, rng=None):
+                         compute_dtype=None, rng=None, fused: bool = False):
     """Scan the window in dual layout; same contract as packed_window_forward.
 
     remat=True wraps the scan body in jax.checkpoint: the step is bandwidth-
@@ -345,10 +345,22 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     lever after the block reductions (CLAUDE.md perf log).
 
     rng: PRNG key for GAT attention dropout (required when training with
-    cfg.nattheads > 0, like the packed path)."""
+    cfg.nattheads > 0, like the packed path).
+
+    fused=True routes the message-passing round through the fused Pallas
+    kernel (ops/pallas_block.py): gate matmul, nonlinearities, masking and
+    the row/col edge_support partials execute in VMEM, so the edge
+    rectangle makes one HBM round trip per round instead of ~6.  No-GAT
+    configs only (the GAT support keeps the XLA path); interpret mode is
+    selected automatically off-TPU."""
     if train and cfg.nattheads > 0 and rng is None:
         raise ValueError("training with GAT heads needs an rng key for "
                          "attention dropout (pass rng=...)")
+    use_fused = fused and cfg.nattheads == 0
+    if use_fused:
+        interp = jax.default_backend() != "tpu"
+        from trackmpnn_tpu.ops.pallas_block import DEFAULT_G as PB_G
+        from trackmpnn_tpu.ops.pallas_block import fused_block_round
     B, T = bb.n_windows, bb.t_cap
     capD, na_cap, nt_cap = bb.capD, bb.na_cap, bb.nt_cap
     nD = B * capD
@@ -408,26 +420,53 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
             h_d_b = h_d[:, bi * H : (bi + 1) * H]
             h_d_b = jnp.where(det_new[:, None], xt,
                               jnp.where(det_live[:, None], h_d_b, 0.0))
-            h_e_b = jnp.where(em3[..., None],
-                              h_e[..., bi * H : (bi + 1) * H],
-                              jnp.zeros((), h_e.dtype))
+            h_e_sl = h_e[..., bi * H : (bi + 1) * H]
 
             # -------- message-passing round, dual layout --------
-            ha = h_d_b[bb.active_idx]               # [BT, na, H]
-            hn = h_d_b[bb.newdet_idx]               # [BT, nt, H]
-            if cfg.msg_type == "concat":
-                ns = jnp.concatenate([
-                    jnp.broadcast_to(ha[:, :, None, :], em3.shape + (H,)),
-                    jnp.broadcast_to(hn[:, None, :, :], em3.shape + (H,)),
-                ], axis=-1)
+            eg = bp["edge_gru"]
+            if use_fused:
+                # The edge-GRU input matmul factorizes over the bipartite
+                # rectangle: x[i,j] = h[act_i] -/|| h[new_j], so
+                # gi[i,j] = ga[act_i] +/- gb[new_j] + b_ih with ga/gb
+                # computed ONCE on the compact detection layout; the
+                # rectangle broadcast, masking, gates, output and the rs/cs
+                # edge_support partials all execute in VMEM inside the
+                # fused kernel -- one HBM round trip per round.
+                if cfg.msg_type == "concat":
+                    ga_d = nn.matmul_lp(h_d_b, eg["w_ih"][:H], compute_dtype)
+                    gb_d = nn.matmul_lp(h_d_b, eg["w_ih"][H:], compute_dtype)
+                    sgn = 1.0
+                else:
+                    ga_d = gb_d = nn.matmul_lp(h_d_b, eg["w_ih"],
+                                               compute_dtype)
+                    sgn = -1.0
+                ga = ga_d[bb.active_idx] + eg["b_ih"]
+                gb = gb_d[bb.newdet_idx]
+                m3 = em3.astype(jnp.float32)
+                edge_out, rs, cs = fused_block_round(
+                    h_e_sl, ga, gb, eg["w_hh"], eg["b_hh"], m3, sgn,
+                    compute_dtype, PB_G, interp)
             else:
-                ns = ha[:, :, None, :] - hn[:, None, :, :]
-            ns = jnp.where(em3[..., None], ns, 0.0)
-            edge_out = nn.gru_cell(
-                bp["edge_gru"], ns.reshape(-1, ns.shape[-1]),
-                h_e_b.reshape(-1, H),
-                dtype=compute_dtype).reshape(em3.shape + (H,))
-            edge_out = jnp.where(em3[..., None], edge_out, 0.0)
+                # XLA fallback keeps the ns-matmul formulation: on-chip the
+                # bf16 rectangle matmul + fused epilogue beats an f32
+                # broadcast-gate chain (measured 28.1 vs 34.9 ms/step)
+                h_e_b = jnp.where(em3[..., None], h_e_sl,
+                                  jnp.zeros((), h_e.dtype))
+                ha = h_d_b[bb.active_idx]               # [BT, na, H]
+                hn = h_d_b[bb.newdet_idx]               # [BT, nt, H]
+                if cfg.msg_type == "concat":
+                    ns = jnp.concatenate([
+                        jnp.broadcast_to(ha[:, :, None, :], em3.shape + (H,)),
+                        jnp.broadcast_to(hn[:, None, :, :], em3.shape + (H,)),
+                    ], axis=-1)
+                else:
+                    ns = ha[:, :, None, :] - hn[:, None, :, :]
+                ns = jnp.where(em3[..., None], ns, 0.0)
+                edge_out = nn.gru_cell(
+                    eg, ns.reshape(-1, ns.shape[-1]),
+                    h_e_b.reshape(-1, H),
+                    dtype=compute_dtype).reshape(em3.shape + (H,))
+                edge_out = jnp.where(em3[..., None], edge_out, 0.0)
 
             if cfg.nattheads > 0:
                 rng_sb = (jax.random.fold_in(rng_s, bi)
@@ -435,9 +474,10 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                 es = _block_gat_support(bp["gat"], h_d_b, h_e_b, bb, em3,
                                         seg, vm, nD, rng_sb, train)
             else:
-                # edge_support: +rows to active dets, -cols to new dets
-                rs = jnp.sum(jnp.where(em3[..., None], h_e_b, 0.0), axis=2)
-                cs = jnp.sum(jnp.where(em3[..., None], h_e_b, 0.0), axis=1)
+                if not use_fused:
+                    # edge_support partials: +rows to active, -cols to new
+                    rs = jnp.sum(h_e_b, axis=2)
+                    cs = jnp.sum(h_e_b, axis=1)
                 vals = jnp.concatenate([rs.reshape(-1, H), -cs.reshape(-1, H)])
                 es = segment_sum(vals, seg, nD, mask=vm)
             node_out = nn.gru_cell(bp["node_gru"], es, h_d_b,
@@ -501,7 +541,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
 
 
 def make_block_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool,
-                          remat: bool = True, compute_dtype=None):
+                          remat: bool = True, compute_dtype=None,
+                          fused: bool = False):
     """jit'd full train step over a BlockBatch (drop-in for the packed one).
 
     remat defaults on: profiled on v5e it cuts the step 49.3 -> 38.4 ms
@@ -512,7 +553,8 @@ def make_block_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool,
     def loss_fn(params, batch_stats, bb, rng):
         return block_window_forward(params, batch_stats, cfg, bb,
                                     tp_classifier, remat=remat,
-                                    compute_dtype=compute_dtype, rng=rng)
+                                    compute_dtype=compute_dtype, rng=rng,
+                                    fused=fused)
 
     @jax.jit
     def step(params, batch_stats, opt_state, bb: BlockBatch, rng=None):

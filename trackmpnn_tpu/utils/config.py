@@ -79,6 +79,13 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "v5e; per-epoch losses track f32 to +-0.01 over "
                         "26 epochs (docs/RESULTS.md).  --no-bf16 forces "
                         "f32 everywhere")
+    p.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="batched (block) training runs the message-passing "
+                        "round as a fused Pallas kernel (one HBM round trip "
+                        "per round; 1.7x step speedup on v5e, "
+                        "docs/RESULTS.md).  Applies on TPU for non-GAT "
+                        "configs; --no-fused keeps the pure-XLA round")
     return p
 
 
