@@ -93,3 +93,98 @@ def test_dp_loss_matches_mean_of_windows():
         loss, _ = window_forward(params, stats, cfg, sb, True, train=True)
         singles.append(float(loss))
     np.testing.assert_allclose(float(loss_b), np.mean(singles), rtol=1e-5)
+
+
+# ------------------------- block-structured data-parallel (fast path) -------
+def test_sharded_block_step_matches_single_device():
+    """shard_map'd block step over {'data': 4} == single-device block step:
+    loss, aux, (sync-)BN stats, and raw GRADIENTS (post-Adam params are not
+    comparable: g ~ 1e-9 noise on near-zero grads flips lr*sign updates)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from trackmpnn_tpu.parallel.block_parallel import (
+        BLOCK_SPECS, _rebase, make_sharded_block_step)
+    from trackmpnn_tpu.train.block import (block_window_forward,
+                                           build_block_batch,
+                                           make_block_train_step)
+
+    cfg, params, stats, tx = setup(3)
+    schedules = build_batch(8)
+    bb = build_block_batch(schedules, TCAP)
+    mesh = make_mesh({"data": 4}, jax.devices()[:4])
+
+    # raw gradient equality (replicated grads require the cross-shard psum
+    # the shard_map transpose inserts under vma tracking)
+    def g_single(p):
+        return block_window_forward(p, stats, cfg, bb, True)[0]
+
+    def body(p, s, bbg):
+        bbl = _rebase(bbg, "data")
+        total, _ = block_window_forward(p, s, cfg, bbl, True,
+                                        axis_name="data")
+        return jax.lax.psum(total * bbl.step_valid.shape[1], "data") / 8.0
+
+    sharded = shard_map(body, mesh=mesh,
+                        in_specs=(P(), P(), BLOCK_SPECS), out_specs=P())
+    g1 = jax.grad(g_single)(params)
+    gn = jax.grad(lambda p: sharded(p, stats, bb))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(gn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
+
+    # full-step contract: loss/aux/stats equality (these steps DONATE their
+    # param/stat inputs, so they run last)
+    step1 = make_block_train_step(cfg, tx, True)
+    p1, s1, o1, loss1, aux1 = step1(params, stats, tx.init(params), bb)
+    stepn = make_sharded_block_step(mesh, cfg, tx, True)
+    pn, sn, on, lossn, auxn = stepn(params, stats, tx.init(params), bb)
+    np.testing.assert_allclose(float(lossn), float(loss1), rtol=1e-5)
+    for k in ("loss_ce", "loss_f"):
+        np.testing.assert_allclose(float(auxn[k]), float(aux1[k]), rtol=1e-5,
+                                   atol=1e-7)
+    for k in ("tp", "fp", "fn"):
+        assert int(auxn[k]) == int(aux1[k]), k
+    for a, b in zip(jax.tree_util.tree_leaves(sn),
+                    jax.tree_util.tree_leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_block_step_gat_runs():
+    """GAT heads under the sharded block step: per-shard dropout rngs,
+    psum'd sync-BN, finite loss, and training makes progress."""
+    from trackmpnn_tpu.parallel.block_parallel import make_sharded_block_step
+    from trackmpnn_tpu.train.block import build_block_batch
+
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=16,
+                           nattheads=1)
+    params = mpnn.init_params(jax.random.key(0), cfg)
+    stats = mpnn.init_batch_stats(cfg)
+    tx = optim.make_optimizer(3e-3)
+    opt = tx.init(params)
+    bb = build_block_batch(build_batch(4), TCAP)
+    mesh = make_mesh({"data": 2}, jax.devices()[:2])
+    step = make_sharded_block_step(mesh, cfg, tx, True)
+    rng = jax.random.key(7)
+    first = last = None
+    for i in range(60):
+        params, stats, opt, loss, aux = step(params, stats, opt, bb,
+                                             rng=jax.random.fold_in(rng, i))
+        assert np.isfinite(float(loss))
+        first = first if first is not None else float(loss)
+        last = float(loss)
+    assert last < 0.8 * first, (first, last)
+
+
+def test_sharded_block_step_rejects_indivisible_batch():
+    from trackmpnn_tpu.parallel.block_parallel import make_sharded_block_step
+    from trackmpnn_tpu.train.block import build_block_batch
+
+    cfg, params, stats, tx = setup()
+    bb = build_block_batch(build_batch(3), TCAP)
+    mesh = make_mesh({"data": 2}, jax.devices()[:2])
+    step = make_sharded_block_step(mesh, cfg, tx, True)
+    with pytest.raises(ValueError):
+        step(params, stats, tx.init(params), bb)

@@ -222,13 +222,18 @@ def main(argv: Optional[List[str]] = None):
     mesh_axes = _parse_mesh(args.mesh)
     batch_windows = max(args.batch_windows, 1)
     use_batched = batch_windows > 1 or mesh_axes is not None
+    data_only_mesh = mesh_axes is not None and set(mesh_axes) == {"data"}
     use_packed = use_batched and mesh_axes is None
     # TM_PACKED=1 forces the slower packed block-diagonal path (A/B debugging)
-    use_block = use_packed and os.environ.get("TM_PACKED", "0") != "1"
+    use_block = ((use_packed or data_only_mesh)
+                 and os.environ.get("TM_PACKED", "0") != "1")
     if use_block:
-        # single-device batching, block-structured fast path: the graph is a
-        # union of complete-bipartite rectangles, so message passing, the GAT
-        # softmax and the losses run scatter-free in dual layout (train/block.py)
+        # block-structured fast path (single-device, or shard_map'd over a
+        # data-only mesh): the graph is a union of complete-bipartite
+        # rectangles, so message passing, the GAT softmax and the losses
+        # run scatter-free in dual layout (train/block.py); under a mesh
+        # each device runs the identical fast path on its own windows
+        # (parallel/block_parallel.py)
         from trackmpnn_tpu.train.block import (block_dims, build_block_batch,
                                                make_block_train_step)
 
@@ -238,10 +243,26 @@ def main(argv: Optional[List[str]] = None):
         fused = (getattr(args, "fused", True) and cfg.nattheads == 0
                  and (jax.default_backend() == "tpu"
                       or os.environ.get("TM_FUSED", "") == "1"))
-        step = make_block_train_step(cfg, tx, args.tp_classifier,
-                                     compute_dtype=dt_lp, fused=fused)
+        where = f"{batch_windows} windows/step"
+        if data_only_mesh:
+            from trackmpnn_tpu.parallel import make_mesh
+            from trackmpnn_tpu.parallel.block_parallel import \
+                make_sharded_block_step
+
+            if batch_windows % mesh_axes["data"] != 0:
+                raise ValueError(
+                    "--batch-windows must divide by the data axis size")
+            mesh = make_mesh(mesh_axes,
+                             jax.devices()[:mesh_axes["data"]])
+            step = make_sharded_block_step(mesh, cfg, tx,
+                                           args.tp_classifier,
+                                           compute_dtype=dt_lp, fused=fused)
+            where += f" over mesh {mesh_axes}"
+        else:
+            step = make_block_train_step(cfg, tx, args.tp_classifier,
+                                         compute_dtype=dt_lp, fused=fused)
         block_dims_max = [0, 0, 0]  # growing buckets bound recompiles
-        log(f"block-structured batched training: {batch_windows} windows/step"
+        log(f"block-structured batched training: {where}"
             + (" (bf16)" if dt_lp else "") + (" (fused round)" if fused else ""))
     elif use_packed:
         # packed block-diagonal graphs (row-layout general path, TM_PACKED=1)

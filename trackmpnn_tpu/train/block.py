@@ -160,21 +160,27 @@ def build_block_batch(schedules: List, t_cap: int, capD=None, na_cap=None,
 
 
 # ------------------------------------------------------------ device step ----
-def _bn_with_phantom_rows(params, stats, y1, mask_d, n_phantom, *, train):
+def _bn_with_phantom_rows(params, stats, y1, mask_d, n_phantom, *, train,
+                          axis_name=None):
     """BatchNorm over {y1 rows where mask_d} + n_phantom copies of lin1's
     bias vector (what zero-feature new edge rows contribute in the row
     layout, ref track_mpnn.py:58-61: BN statistics include them but their
     transformed value is never used).  Returns (y_normed, new_stats, count).
+
+    axis_name: psum the moments over that mesh axis (sync-BN), so the
+    data-sharded step matches the single-device cross-window batch stats.
     """
     b1 = params["lin1"]["b"]
     mask_f = mask_d.astype(y1.dtype)[:, None]
     nph = n_phantom.astype(y1.dtype)
-    cnt_raw = jnp.sum(mask_f) + nph
+    psum = ((lambda v: jax.lax.psum(v, axis_name)) if axis_name
+            else (lambda v: v))
+    cnt_raw = psum(jnp.sum(mask_f) + nph)
     if train:
         cnt = jnp.maximum(cnt_raw, 1.0)
-        mean = (jnp.sum(y1 * mask_f, axis=0) + nph * b1) / cnt
-        var_b = (jnp.sum(((y1 - mean) ** 2) * mask_f, axis=0)
-                 + nph * (b1 - mean) ** 2) / cnt
+        mean = psum(jnp.sum(y1 * mask_f, axis=0) + nph * b1) / cnt
+        var_b = psum(jnp.sum(((y1 - mean) ** 2) * mask_f, axis=0)
+                     + nph * (b1 - mean) ** 2) / cnt
         y = (y1 - mean) * jax.lax.rsqrt(var_b + nn.BN_EPS)
         var_u = var_b * cnt / jnp.maximum(cnt - 1.0, 1.0)
         new_stats = {
@@ -330,7 +336,8 @@ def _per_window_bce_dual(scores_d, t_d, mask_d, scores_e, t_e, mask_e, B):
 def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                          bb: BlockBatch, tp_classifier: bool,
                          train: bool = True, remat: bool = False,
-                         compute_dtype=None, rng=None, fused: bool = False):
+                         compute_dtype=None, rng=None, fused: bool = False,
+                         axis_name=None):
     """Scan the window in dual layout; same contract as packed_window_forward.
 
     remat=True wraps the scan body in jax.checkpoint: the step is bandwidth-
@@ -352,7 +359,13 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     the row/col edge_support partials execute in VMEM, so the edge
     rectangle makes one HBM round trip per round instead of ~6.  No-GAT
     configs only (the GAT support keeps the XLA path); interpret mode is
-    selected automatically off-TPU."""
+    selected automatically off-TPU.
+
+    axis_name: running under shard_map with windows split over that mesh
+    axis (parallel/block_parallel.py).  BatchNorm moments and the
+    step-validity gate psum across it so batch statistics and running-stat
+    updates match the single-device cross-window semantics exactly; the
+    loss/aux this returns stay LOCAL to the shard (the wrapper reduces)."""
     if train and cfg.nattheads > 0 and rng is None:
         raise ValueError("training with GAT heads needs an rng key for "
                          "attention dropout (pass rng=...)")
@@ -388,11 +401,20 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     h_d0 = jnp.zeros((nD, nb * H), jnp.float32)
     h_e0 = jnp.zeros((B * T, na_cap, nt_cap, nb * H),
                      compute_dtype or jnp.float32)
+    if axis_name is not None:
+        # under shard_map the hidden carries are shard-varying from round 1;
+        # mark the (constant-zero) initials so the scan carry types agree
+        h_d0 = jax.lax.pcast(h_d0, (axis_name,), to="varying")
+        h_e0 = jax.lax.pcast(h_e0, (axis_name,), to="varying")
 
     def step(carry, s):
         h_d, h_e, stats = carry
         sv = bb.step_valid[s]                       # [B]
         any_valid = jnp.any(sv)
+        if axis_name is not None:
+            # stats gating must agree across shards or replication breaks
+            any_valid = jax.lax.psum(any_valid.astype(jnp.int32),
+                                     axis_name) > 0
         det_valid = sv[det_window]
         det_live = (bb.det_step <= s) & det_valid
         det_new = (bb.det_step == s) & det_valid
@@ -411,7 +433,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
             bp = params["branches"][bi]
             bs = stats["branches"][bi]["bn"]
             xt, bn_stats, cnt_raw = _bn_with_phantom_rows(
-                bp["input"], bs, y1s[bi], det_new, n_phantom, train=train)
+                bp["input"], bs, y1s[bi], det_new, n_phantom, train=train,
+                axis_name=axis_name)
             xt = nn.linear(bp["input"]["lin2"], jax.nn.relu(xt))
             bn_stats = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(cnt_raw > 0, a, b), bn_stats, bs)
