@@ -48,7 +48,7 @@ def _rebase(bb: BlockBatch, axis_name: str) -> BlockBatch:
 
 def make_sharded_block_step(mesh: Mesh, cfg: mpnn.ModelConfig, tx,
                             tp_classifier: bool, compute_dtype=None,
-                            fused: bool = False, remat: bool = True,
+                            fused: bool = False, remat=None,
                             axis_name: str = "data"):
     """jit'd SPMD train step over `mesh` consuming a global BlockBatch.
 
@@ -56,7 +56,10 @@ def make_sharded_block_step(mesh: Mesh, cfg: mpnn.ModelConfig, tx,
     Params/optimizer state are replicated; returns the same
     (params, stats, opt_state, loss, aux) contract as the single-device
     block step, with loss = mean-per-window over the GLOBAL batch.
+    remat=None resolves like make_block_train_step (off for fused).
     """
+    if remat is None:
+        remat = not fused
     repl = P()
 
     def local_loss(params, batch_stats, bb_g: BlockBatch, rng):

@@ -564,14 +564,20 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
 
 
 def make_block_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool,
-                          remat: bool = True, compute_dtype=None,
+                          remat=None, compute_dtype=None,
                           fused: bool = False):
     """jit'd full train step over a BlockBatch (drop-in for the packed one).
 
-    remat defaults on: profiled on v5e it cuts the step 49.3 -> 38.4 ms
-    (B=8, cap=4096) by dropping ~6 stacked [T, B*T, na, nt, H] scan
-    residuals; the recomputed round is dense and cheap.
+    remat=None resolves per path (measured on v5e, B=8/cap=4096):
+      * XLA round -> True: dropping ~6 stacked [T, B*T, na, nt, H] scan
+        residuals cuts the step 49.3 -> 38.4 ms (the recompute is cheap);
+      * fused round -> False: the kernel leaves nothing big to stack (its
+        VJP re-derives the gates from the inputs), so remat only re-runs
+        the kernel for residuals that are cheap to stream (16.8 -> 14.2 ms
+        without it).
     compute_dtype: see block_window_forward (bf16 rectangles + matmuls)."""
+    if remat is None:
+        remat = not fused
 
     def loss_fn(params, batch_stats, bb, rng):
         return block_window_forward(params, batch_stats, cfg, bb,
