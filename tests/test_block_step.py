@@ -228,6 +228,34 @@ def test_block_fused_round_matches_xla(msg_type):
     _assert_tree_close(gf, gx)
 
 
+@pytest.mark.parametrize("tp_classifier", [True, False])
+def test_block_fused_loss_optin_matches_xla(monkeypatch, tp_classifier):
+    """TM_FUSED_LOSS=1 routes the edge losses through ops/pallas_loss.py
+    (opt-in: measured slower on-chip than the XLA loss path, kept correct
+    for future mega-fusion work)."""
+    monkeypatch.setenv("TM_FUSED_LOSS", "1")
+    cfg, params, stats = _model(seed=9)
+    bb = build_block_batch(build(3, seed0=20), TCAP)
+
+    def run(fused):
+        def f(p):
+            return block_window_forward(p, stats, cfg, bb, tp_classifier,
+                                        fused=fused)
+        (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, aux, grads
+
+    lf, af, gf = run(True)
+    monkeypatch.delenv("TM_FUSED_LOSS")
+    lx, ax, gx = run(False)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-4)
+    for k in ("loss_ce", "loss_f"):
+        np.testing.assert_allclose(float(af[k]), float(ax[k]), rtol=1e-4,
+                                   atol=1e-6)
+    for k in ("tp", "fp", "fn"):
+        assert int(af[k]) == int(ax[k]), k
+    _assert_tree_close(gf, gx)
+
+
 def test_block_fused_train_step_converges():
     cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=16)
     params = mpnn.init_params(jax.random.key(0), cfg)

@@ -28,6 +28,7 @@ edges decomposes over the same rectangles - see _block_gat_support).
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple
 
 import jax
@@ -194,8 +195,54 @@ def _bn_with_phantom_rows(params, stats, y1, mask_d, n_phantom, *, train,
     return y * bn["gamma"] + bn["beta"], new_stats, cnt_raw
 
 
-def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, det_live,
-                          blk_live, row_m, col_m, em3):
+class StaticTargets(NamedTuple):
+    """Per-batch target structure: constant across scan steps.
+
+    Every pick in the target derivation (ref loss.py:8-44) is label- and
+    layout-determined, not logits-determined, and is INVARIANT under the
+    growing live set: part_a is within-block; part_b marks each det's
+    earliest positive-label edge globally, and since slot rowids grow with
+    schedule step and live sets grow monotonically, the dynamic
+    min-over-live-rows equals the global min whenever the det has any live
+    positive edge (its earliest positive block is live no later than any
+    other).  Runtime masking by em3 restores the per-step semantics."""
+
+    tpos: jnp.ndarray      # bool[BT, na, nt] target-positive edges
+    part_b: jnp.ndarray    # bool[BT, na, nt] earliest-positive per det
+    col_has: jnp.ndarray   # bool[BT, nt]     column has a positive target
+    sel_mask: jnp.ndarray  # bool[BT, na, nt] latest positive per column
+
+
+def build_static_targets(bb: BlockBatch, row_m, col_m) -> StaticTargets:
+    nD = bb.det_feat.shape[0]
+    na_cap, nt_cap = bb.na_cap, bb.nt_cap
+    ii = jnp.arange(na_cap, dtype=jnp.int32)[None, :, None]
+    jj = jnp.arange(nt_cap, dtype=jnp.int32)[None, None, :]
+    # original slot row of edge (i, j) - the reference's tie-break key.
+    # Kept in float32 throughout (slot rows << 2^24, so exact).
+    rowid = (bb.blk_edge_base[:, None, None] + ii * bb.blk_nt[:, None, None]
+             + jj).astype(jnp.float32)
+    msk = row_m[:, :, None] & col_m[:, None, :]
+    lbl_pos = (bb.edge_label == 1) & msk
+    # past part: latest (max i) positive-label edge in each column
+    max_i = jnp.max(jnp.where(lbl_pos, ii, -1), axis=1)         # [BT, nt]
+    part_a = lbl_pos & (ii == max_i[:, None, :])
+    # future part: earliest (min rowid) positive-label edge out of each det
+    r_min = jnp.min(jnp.where(lbl_pos, rowid, _BIG), axis=2)    # [BT, na]
+    act_m = (row_m & (bb.blk_nt > 0)[:, None]).reshape(-1)
+    sel1 = segment_min(r_min.reshape(-1), bb.active_idx.reshape(-1), nD,
+                       mask=act_m)
+    part_b = lbl_pos & (rowid == sel1[bb.active_idx][:, :, None])
+    tpos = part_a | part_b
+    col_has = jnp.any(tpos, axis=1)
+    sel_i = jnp.max(jnp.where(tpos, ii, -1), axis=1)  # latest positive
+    sel_mask = tpos & (ii == sel_i[:, None, :])
+    return StaticTargets(tpos=tpos, part_b=part_b, col_has=col_has,
+                         sel_mask=sel_mask)
+
+
+def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, st,
+                          det_live, blk_live, row_m, col_m, em3):
     """Targets + per-detection CE in block layout.
 
     Same contract as losses.targets_and_ce (ref loss.py:8-44, 77-115):
@@ -203,44 +250,27 @@ def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, det_live,
         positive" pick and the CE past term are dense column reductions;
       * future sets span the active lists of later blocks -> per-(block,
         active-row) dense partials + one tiny segment reduction per
-        quantity over the active index lists.
+        quantity over the active index lists;
+      * all label-side picks come precomputed (build_static_targets) and
+        are only re-masked by the live set here.
     Returns (targets_d i32, targets_e i32, ce_sum).
     """
     nD = logits_d.shape[0]
-    na_cap, nt_cap = bb.na_cap, bb.nt_cap
-    ii = jnp.arange(na_cap, dtype=jnp.int32)[None, :, None]
-    jj = jnp.arange(nt_cap, dtype=jnp.int32)[None, None, :]
-    # original slot row of edge (i, j) - the reference's tie-break key.
-    # Kept in float32 throughout (slot rows << 2^24, so exact): segment_min
-    # pads empties with a float default, and mixing dtypes there is UB-bait.
-    rowid = (bb.blk_edge_base[:, None, None] + ii * bb.blk_nt[:, None, None]
-             + jj).astype(jnp.float32)
-
-    # ---- targets ----
-    lbl_pos = (bb.edge_label == 1) & em3
-    # past part: latest (max i) positive-label edge in each column
-    max_i = jnp.max(jnp.where(lbl_pos, ii, -1), axis=1)         # [BT, nt]
-    part_a = lbl_pos & (ii == max_i[:, None, :])
-    # future part: earliest (min rowid) positive-label edge out of each det
-    r_min = jnp.min(jnp.where(lbl_pos, rowid, _BIG), axis=2)    # [BT, na]
+    tpos = st.tpos & em3
+    targets_e = tpos.astype(jnp.int32)
+    targets_d = ((bb.det_label == 1) & det_live).astype(jnp.int32)
     act_flat = bb.active_idx.reshape(-1)
     act_m = (blk_live[:, None] & row_m).reshape(-1)
-    sel1 = segment_min(r_min.reshape(-1), act_flat, nD, mask=act_m)
-    part_b = lbl_pos & (rowid == sel1[bb.active_idx][:, :, None])
-    targets_e = (part_a | part_b).astype(jnp.int32)
-    targets_d = ((bb.det_label == 1) & det_live).astype(jnp.int32)
 
     # ---- CE past side: dense per-column ----
-    tpos = (targets_e == 1) & em3
     neg = jnp.float32(-1e30)
-    col_has = jnp.any(tpos, axis=1)                             # [BT, nt]
-    sel_i = jnp.max(jnp.where(tpos, ii, -1), axis=1)            # latest positive
+    col_has = st.col_has & blk_live[:, None]                    # [BT, nt]
     le = jnp.where(em3, logits_e, neg)
     m_col = jnp.max(le, axis=1)                                 # [BT, nt]
     safe_m = jnp.where(col_has, m_col, 0.0)
     sumexp = jnp.sum(jnp.where(em3, jnp.exp(logits_e - safe_m[:, None, :]), 0.0), axis=1)
     lse_col = safe_m + jnp.log(jnp.maximum(sumexp, 1e-30))
-    sel_logit = jnp.sum(jnp.where(tpos & (ii == sel_i[:, None, :]), logits_e, 0.0), axis=1)
+    sel_logit = jnp.sum(jnp.where(st.sel_mask, logits_e, 0.0), axis=1)
     size_col = bb.blk_na[:, None].astype(jnp.float32)
     ce_past = jnp.sum(jnp.where(col_has, (lse_col - sel_logit)
                                 / jnp.maximum(size_col, 1.0), 0.0))
@@ -255,13 +285,14 @@ def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, det_live,
     sums = segment_sum(packed, act_flat, nD, mask=act_m)
     lse_d = gmax + jnp.log(jnp.maximum(sums[:, 0], 1e-30))
     size_d = sums[:, 1]
-    rp_min = jnp.min(jnp.where(tpos, rowid, _BIG), axis=2)      # [BT, na]
-    sel2 = segment_min(rp_min.reshape(-1), act_flat, nD, mask=act_m)
-    det_row = jnp.stack([lse_d, size_d, sel2], axis=1)
-    rb = det_row[bb.active_idx]                                 # [BT, na, 3]
-    win = tpos & (rowid == rb[:, :, None, 2])
+    # the earliest positive-TARGET edge out of a det IS its earliest
+    # positive-LABEL edge (part_b): that edge is always in the target set
+    # and targets are a subset of labels
+    part_b = st.part_b & em3
+    det_row = jnp.stack([lse_d, size_d], axis=1)
+    rb = det_row[bb.active_idx]                                 # [BT, na, 2]
     per_edge = jnp.where(
-        win, (rb[:, :, None, 0] - logits_e) / jnp.maximum(rb[:, :, None, 1], 1.0), 0.0)
+        part_b, (rb[:, :, None, 0] - logits_e) / jnp.maximum(rb[:, :, None, 1], 1.0), 0.0)
     ce_fut = jnp.sum(per_edge)
 
     return targets_d, targets_e, ce_past + ce_fut
@@ -370,10 +401,18 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         raise ValueError("training with GAT heads needs an rng key for "
                          "attention dropout (pass rng=...)")
     use_fused = fused and cfg.nattheads == 0
+    # The fused LOSS kernels are correct but measured SLOWER than the XLA
+    # loss path (16.0 vs 14.2 ms/step: 3 extra kernel launches/step exceed
+    # the ~3 ms of small fusions they replace; docs/RESULTS.md) - opt-in
+    # for future mega-fusion work, never the default.
+    use_fused_loss = use_fused and os.environ.get("TM_FUSED_LOSS", "") == "1"
     if use_fused:
         interp = jax.default_backend() != "tpu"
         from trackmpnn_tpu.ops.pallas_block import DEFAULT_G as PB_G
         from trackmpnn_tpu.ops.pallas_block import fused_block_round
+    if use_fused_loss:
+        from trackmpnn_tpu.ops.pallas_loss import DEFAULT_G as PL_G
+        from trackmpnn_tpu.ops.pallas_loss import edge_losses
     B, T = bb.n_windows, bb.t_cap
     capD, na_cap, nt_cap = bb.capD, bb.na_cap, bb.nt_cap
     nD = B * capD
@@ -388,6 +427,14 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     # the signed edge_support and the GAT softmax, invariant across steps
     seg = jnp.concatenate([bb.active_idx.reshape(-1),
                            bb.newdet_idx.reshape(-1)])
+    # label-side target picks are live-set invariant: compute ONCE per batch
+    st = build_static_targets(bb, row_m, col_m)
+    if use_fused_loss:
+        # static per-batch arrays for the fused loss kernels
+        lblm = (bb.edge_label == 1).astype(jnp.float32)
+        ebnt = jnp.stack([bb.blk_edge_base.astype(jnp.float32),
+                          bb.blk_nt.astype(jnp.float32)], axis=1)
+        bna = bb.blk_na.astype(jnp.float32)[:, None]
 
     # lin1 is step-independent: hoist it out of the scan (one tiny matmul)
     y1s, widths = [], []
@@ -422,8 +469,10 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         blk_live = (blk_step <= s) & blk_valid & (bb.blk_nt > 0)
         blk_new = (blk_step == s) & blk_valid
         em3 = blk_live[:, None, None] & row_m[:, :, None] & col_m[:, None, :]
-        vm = jnp.concatenate([(blk_live[:, None] & row_m).reshape(-1),
+        act_m1 = (blk_live[:, None] & row_m).reshape(-1)
+        vm = jnp.concatenate([act_m1,
                               (blk_live[:, None] & col_m).reshape(-1)])
+        m3 = em3.astype(jnp.float32) if use_fused else None
         rng_s = jax.random.fold_in(rng, s) if rng is not None else None
 
         n_phantom = jnp.sum(jnp.where(blk_new, bb.blk_na * bb.blk_nt, 0))
@@ -465,7 +514,6 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                     sgn = -1.0
                 ga = ga_d[bb.active_idx] + eg["b_ih"]
                 gb = gb_d[bb.newdet_idx]
-                m3 = em3.astype(jnp.float32)
                 edge_out, rs, cs = fused_block_round(
                     h_e_sl, ga, gb, eg["w_hh"], eg["b_hh"], m3, sgn,
                     compute_dtype, PB_G, interp)
@@ -513,33 +561,62 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         h_e_out = jnp.concatenate(he_parts, axis=-1)
         logits_d = nn.linear(params["out_node"], h_d_out)[:, 0]
         logits_d = jnp.where(det_live, logits_d, 0.0)
-        logits_e = nn.linear(params["out_edge"], h_e_out)[..., 0]
-        logits_e = jnp.where(em3, logits_e, 0.0)
 
-        t_d, t_e, l_ce = _block_targets_and_ce(
-            logits_d, logits_e, bb, det_live, blk_live, row_m, col_m, em3)
-        scores_d = jnp.where(det_live, jax.nn.sigmoid(logits_d), 0.0)
-        scores_e = jnp.where(em3, jax.nn.sigmoid(logits_e), 0.0)
-        no_mask_d = jnp.zeros_like(det_live)
-        if tp_classifier:
-            l_f = (_per_window_bce_dual(scores_d, t_d, det_live, scores_e,
-                                        t_e, jnp.zeros_like(em3), B)
-                   + _per_window_bce_dual(scores_d, t_d, no_mask_d, scores_e,
-                                          t_e, em3, B))
+        if use_fused_loss:
+            # edge head + targets + CE + BCE + F1 in the fused loss kernels
+            # (ops/pallas_loss.py); the detection side stays XLA (nD-sized)
+            partials = edge_losses(
+                h_e_out, params["out_edge"]["w"],
+                params["out_edge"]["b"].reshape(1, 1), lblm, m3, ebnt, bna,
+                bb.active_idx, act_m1, nD, PL_G, interp)
+            l_ce = jnp.sum(partials[:, 0] + partials[:, 1])
+            t_d = ((bb.det_label == 1) & det_live).astype(jnp.int32)
+            scores_d = jnp.where(det_live, jax.nn.sigmoid(logits_d), 0.0)
+            e_sum = jnp.sum(partials[:, 2].reshape(B, -1), axis=1)
+            e_cnt = jnp.sum(partials[:, 3].reshape(B, -1), axis=1)
+            l_f = -jnp.sum(e_sum / jnp.maximum(e_cnt, 1.0))
+            tp = jnp.sum(partials[:, 4]).astype(jnp.int32)
+            fp = jnp.sum(partials[:, 5]).astype(jnp.int32)
+            fn = jnp.sum(partials[:, 6]).astype(jnp.int32)
+            if tp_classifier:
+                pt_d = jnp.where(t_d == 1, scores_d, 1.0 - scores_d)
+                lp_d = jnp.where(det_live, jnp.log(pt_d + EPS), 0.0)
+                s_dw = jnp.sum(lp_d.reshape(B, -1), axis=1)
+                c_dw = jnp.sum(det_live.reshape(B, -1), axis=1)
+                l_f = l_f - jnp.sum(s_dw / jnp.maximum(c_dw, 1.0))
+                pred_d = scores_d >= 0.5
+                tp = tp + jnp.sum(det_live & pred_d & (t_d == 1))
+                fp = fp + jnp.sum(det_live & pred_d & (t_d != 1))
+                fn = fn + jnp.sum(det_live & ~pred_d & (t_d == 1))
         else:
-            l_f = _per_window_bce_dual(scores_d, t_d, no_mask_d, scores_e,
-                                       t_e, em3, B)
-        pred_d, pred_e = scores_d >= 0.5, scores_e >= 0.5
-        if tp_classifier:
-            md, me = det_live, em3
-        else:
-            md, me = no_mask_d, em3
-        tp = (jnp.sum(md & pred_d & (t_d == 1))
-              + jnp.sum(me & pred_e & (t_e == 1)))
-        fp = (jnp.sum(md & pred_d & (t_d != 1))
-              + jnp.sum(me & pred_e & (t_e != 1)))
-        fn = (jnp.sum(md & ~pred_d & (t_d == 1))
-              + jnp.sum(me & ~pred_e & (t_e == 1)))
+            logits_e = nn.linear(params["out_edge"], h_e_out)[..., 0]
+            logits_e = jnp.where(em3, logits_e, 0.0)
+
+            t_d, t_e, l_ce = _block_targets_and_ce(
+                logits_d, logits_e, bb, st, det_live, blk_live, row_m,
+                col_m, em3)
+            scores_d = jnp.where(det_live, jax.nn.sigmoid(logits_d), 0.0)
+            scores_e = jnp.where(em3, jax.nn.sigmoid(logits_e), 0.0)
+            no_mask_d = jnp.zeros_like(det_live)
+            if tp_classifier:
+                l_f = (_per_window_bce_dual(scores_d, t_d, det_live, scores_e,
+                                            t_e, jnp.zeros_like(em3), B)
+                       + _per_window_bce_dual(scores_d, t_d, no_mask_d,
+                                              scores_e, t_e, em3, B))
+            else:
+                l_f = _per_window_bce_dual(scores_d, t_d, no_mask_d, scores_e,
+                                           t_e, em3, B)
+            pred_d, pred_e = scores_d >= 0.5, scores_e >= 0.5
+            if tp_classifier:
+                md, me = det_live, em3
+            else:
+                md, me = no_mask_d, em3
+            tp = (jnp.sum(md & pred_d & (t_d == 1))
+                  + jnp.sum(me & pred_e & (t_e == 1)))
+            fp = (jnp.sum(md & pred_d & (t_d != 1))
+                  + jnp.sum(me & pred_e & (t_e != 1)))
+            fn = (jnp.sum(md & ~pred_d & (t_d == 1))
+                  + jnp.sum(me & ~pred_e & (t_e == 1)))
 
         h_d_next = jnp.where(det_valid[:, None], h_d_out, h_d)
         h_e_next = jnp.where(blk_valid[:, None, None, None], h_e_out,
