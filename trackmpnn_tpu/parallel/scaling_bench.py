@@ -76,6 +76,54 @@ def measure(device_counts: List[int], windows_per_device: int = 2,
     return results
 
 
+def measure_block(device_counts: List[int], windows_per_device: int = 2,
+                  repeats: int = 10, nhidden: int = 64) -> dict:
+    """Weak-scaling of the PRODUCTION path: the block-structured step
+    shard_map'd over a data mesh (parallel/block_parallel.py), fused
+    kernels off-TPU-safe (they only engage on the TPU backend)."""
+    import jax
+
+    from trackmpnn_tpu.models import mpnn
+    from trackmpnn_tpu.parallel import make_mesh
+    from trackmpnn_tpu.parallel.block_parallel import make_sharded_block_step
+    from trackmpnn_tpu.train import optim
+    from trackmpnn_tpu.train.block import build_block_batch
+
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=nhidden)
+    tx = optim.make_optimizer(1e-4)
+    fused = jax.default_backend() == "tpu"
+
+    results = {}
+    for nd in device_counts:
+        if nd > len(jax.devices()):
+            continue
+        schedules = build_batch(nd * windows_per_device)
+        edges = sum(_live_edges(ws) for ws in schedules)
+        bb = build_block_batch(schedules, 12)
+        mesh = make_mesh({"data": nd}, jax.devices()[:nd])
+        params = mpnn.init_params(jax.random.key(0), cfg)
+        stats = mpnn.init_batch_stats(cfg)
+        opt_state = tx.init(params)
+        step = make_sharded_block_step(mesh, cfg, tx, True, fused=fused)
+        params, stats, opt_state, loss, _ = step(params, stats, opt_state, bb)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            params, stats, opt_state, loss, _ = step(params, stats,
+                                                     opt_state, bb)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / repeats
+        results[nd] = {"edges_per_sec": edges / dt, "step_ms": dt * 1000}
+
+    base = None
+    for nd in sorted(results):
+        eps = results[nd]["edges_per_sec"]
+        if base is None:
+            base = eps / nd
+        results[nd]["efficiency"] = eps / (nd * base)
+    return results
+
+
 def measure_time_shard(device_counts: List[int], repeats: int = 10,
                        nhidden: int = 64, cap: int = 8192, frames: int = 24,
                        tracks: int = 16) -> dict:
@@ -207,6 +255,9 @@ def main(argv=None):
     p.add_argument("--time-shard", action="store_true", default=False,
                    help="strong-scale ONE window's slot axis (halo "
                         "exchange) instead of weak-scaling data parallel")
+    p.add_argument("--block", action="store_true", default=False,
+                   help="weak-scale the production block-structured step "
+                        "(shard_map data mesh, parallel/block_parallel.py)")
     args = p.parse_args(argv)
     counts = args.devices
     if counts is None:
@@ -216,6 +267,8 @@ def main(argv=None):
             c *= 2
     if args.time_shard:
         res = measure_time_shard(counts, repeats=args.repeats)
+    elif args.block:
+        res = measure_block(counts, repeats=args.repeats)
     else:
         res = measure(counts, repeats=args.repeats)
     print(json.dumps(res, indent=2, default=float))
