@@ -185,3 +185,25 @@ def test_apply_dcn_shift_through_offset_conv(rng):
     for k in d1:
         np.testing.assert_allclose(np.asarray(d2[k]), np.asarray(d1[k]),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_shift_warp_ksize5(rng):
+    """Regression: _make_tap_warp's pad math must use the caller's ksize
+    (a hardcoded K=3 under-padded and dynamic_slice silently clamped,
+    sampling wrong rows for ksize != 3)."""
+    H, W, Cin, Cout, K = 12, 11, 4, 5, 5
+    pad = 2
+    Ho = (H + 2 * pad - (K - 1) - 1) // 1 + 1
+    Wo = (W + 2 * pad - (K - 1) - 1) // 1 + 1
+    x = jnp.asarray(rng.normal(size=(1, H, W, Cin)).astype(np.float32))
+    wgt = jnp.asarray(rng.normal(size=(K * K * Cin, Cout)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(Cout,)).astype(np.float32))
+    off = rng.uniform(-1.9, 1.9, size=(1, Ho, Wo, 2 * K * K))
+    off = jnp.asarray(np.where(np.abs(off - np.round(off)) < 0.05, off + 0.1,
+                               off).astype(np.float32))
+    msk = jnp.asarray(rng.uniform(0.2, 1, size=(1, Ho, Wo, K * K)).astype(np.float32))
+    kw = dict(stride=1, padding=pad, dilation=1, ksize=K)
+    ref = DC.deform_conv2d(x, wgt, b, off, msk, **kw)
+    got = DC.deform_conv2d_shift(x, wgt, b, off, msk, max_offset=2.0, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -17,7 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from trackmpnn_tpu.utils import cache  # noqa: F401
+from trackmpnn_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()  # warm tunnel compiles across runs
 
 import bench
 from trackmpnn_tpu.models import mpnn

@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from trackmpnn_tpu.backbones import deform_conv as DC
-from trackmpnn_tpu.utils import cache  # noqa: F401  (persistent compile cache)
+from trackmpnn_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()  # warm tunnel compiles across runs
 
 # (cin, cout, H, W): DLAUp proj/node blocks at strides 16/8/4 + the largest
 # IDAUp stage.  KITTI 1242x375 -> stride-4 map 94x311 (ceil), stride-8

@@ -21,7 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from trackmpnn_tpu.utils import cache  # noqa: F401  (persistent compile cache)
+from trackmpnn_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()  # warm tunnel compiles across runs
 
 import bench
 from trackmpnn_tpu.models import mpnn

@@ -137,7 +137,8 @@ def deform_conv2d_shift(x, weight, bias, offset, mask, *, stride=1, padding=1,
     dy = jnp.clip(off[..., 0], -max_offset, max_offset)
     dx = jnp.clip(off[..., 1], -max_offset, max_offset)
 
-    warp = _make_tap_warp(int(np.ceil(max_offset)), stride, padding, dilation)
+    warp = _make_tap_warp(int(np.ceil(max_offset)), stride, padding,
+                          dilation, K)
     w3 = weight.reshape(KK, Cin, weight.shape[-1])
     out = jnp.zeros((N, Ho, Wo, w3.shape[-1]), x.dtype)
     for k in range(KK):
@@ -151,7 +152,7 @@ def deform_conv2d_shift(x, weight, bias, offset, mask, *, stride=1, padding=1,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_tap_warp(R, stride, padding, dilation):
+def _make_tap_warp(R, stride, padding, dilation, ksize=3):
     """Single-tap bounded bilinear warp with a hand-written scan backward.
 
     Forward scans the (2R+2)^2 integer shifts accumulating
@@ -162,12 +163,14 @@ def _make_tap_warp(R, stride, padding, dilation):
     transpose of a shift is the opposite shift — no scatter, O(1)
     residual memory, ~2x forward cost."""
 
-    def pads(H, W, Ho, Wo, K=3):
+    def pads(H, W, Ho, Wo):
+        # ksize comes from the cache key: a local default here silently
+        # under-padded (and dynamic_slice silently clamps) for ksize != 3
         span_h = (Ho - 1) * stride + 1
         span_w = (Wo - 1) * stride + 1
         lo = padding + R
-        hi_h = max(0, (K - 1) * dilation - padding + R + 1 + span_h - H)
-        hi_w = max(0, (K - 1) * dilation - padding + R + 1 + span_w - W)
+        hi_h = max(0, (ksize - 1) * dilation - padding + R + 1 + span_h - H)
+        hi_w = max(0, (ksize - 1) * dilation - padding + R + 1 + span_w - W)
         return span_h, span_w, lo, hi_h, hi_w
 
     shifts = np.arange(-R, R + 2)

@@ -37,6 +37,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from trackmpnn_tpu.ops.pallas_util import (
+    block_specs as _specs,
+    const_spec as _const_spec,
+    pad_leading as _pad_bt,
+)
+
 # blocks per grid step: G=8 stack-OOMs the 16MB scoped VMEM in the backward
 # kernel at bench shapes (17.9M); G=4 fits and times 16.8 ms/step (bf16)
 DEFAULT_G = int(os.environ.get("TM_BLOCK_G", "4"))
@@ -120,26 +126,6 @@ def _bwd_kernel(he_ref, ga_ref, gb_ref, whh_ref, whh_t_ref, bhh_ref, m_ref,
         dbhh_ref[:] += dbhh
 
 
-def _pad_bt(x, bt_pad):
-    if x.shape[0] == bt_pad:
-        return x
-    pad = [(0, bt_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-    return jnp.pad(x, pad)
-
-
-def _specs(shapes, g):
-    """BlockSpecs slicing dim 0 in chunks of g blocks; full other dims."""
-    return [
-        pl.BlockSpec((g,) + s[1:],
-                     lambda i, nd=len(s): (i,) + (0,) * (nd - 1),
-                     memory_space=pltpu.VMEM)
-        for s in shapes
-    ]
-
-
-def _const_spec(shape):
-    return pl.BlockSpec(shape, lambda i, nd=len(shape): (0,) * nd,
-                        memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))

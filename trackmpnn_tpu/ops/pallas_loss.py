@@ -37,6 +37,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from trackmpnn_tpu.ops.pallas_util import (
+    block_specs as _specs,
+    const_spec as _const_spec,
+    pad_leading as _pad_bt,
+)
+
 from trackmpnn_tpu.losses.losses import EPS
 from trackmpnn_tpu.ops.segment import segment_max, segment_min, segment_sum
 

@@ -18,6 +18,25 @@ from typing import List
 import numpy as np
 
 
+def _timed(thunk, repeats: int) -> float:
+    """Seconds per call.  Wall clock is only trustworthy on CPU; on the
+    tunneled TPU backend use the device trace (utils/devicetime,
+    CLAUDE.md timing rule)."""
+    import jax
+
+    out = thunk()  # warmup/compile
+    jax.block_until_ready(out)
+    if jax.default_backend() != "cpu":
+        from trackmpnn_tpu.utils.devicetime import device_seconds_per_step
+
+        return device_seconds_per_step(thunk, n=repeats)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = thunk()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / repeats
+
+
 def build_batch(n_windows: int, cap: int = 1024, t_cap: int = 12,
                 tracks: int = 8, frames: int = 10):
     from trackmpnn_tpu.data.synthetic import make_sequence
@@ -58,13 +77,14 @@ def measure(device_counts: List[int], windows_per_device: int = 2,
         stats = mpnn.init_batch_stats(cfg)
         opt_state = tx.init(params)
         step = make_sharded_train_step(mesh, cfg, tx, True)
-        params, stats, opt_state, loss, _ = step(params, stats, opt_state, sbatch)
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        for _ in range(repeats):
-            params, stats, opt_state, loss, _ = step(params, stats, opt_state, sbatch)
-        jax.block_until_ready(loss)
-        dt = (time.perf_counter() - t0) / repeats
+        state = [params, stats, opt_state]
+
+        def one():
+            state[0], state[1], state[2], loss, _ = step(
+                state[0], state[1], state[2], sbatch)
+            return loss
+
+        dt = _timed(one, repeats)
         results[nd] = {"edges_per_sec": edges / dt, "step_ms": dt * 1000}
 
     base = None
@@ -105,14 +125,14 @@ def measure_block(device_counts: List[int], windows_per_device: int = 2,
         stats = mpnn.init_batch_stats(cfg)
         opt_state = tx.init(params)
         step = make_sharded_block_step(mesh, cfg, tx, True, fused=fused)
-        params, stats, opt_state, loss, _ = step(params, stats, opt_state, bb)
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        for _ in range(repeats):
-            params, stats, opt_state, loss, _ = step(params, stats,
-                                                     opt_state, bb)
-        jax.block_until_ready(loss)
-        dt = (time.perf_counter() - t0) / repeats
+        state = [params, stats, opt_state]
+
+        def one():
+            state[0], state[1], state[2], loss, _ = step(
+                state[0], state[1], state[2], bb)
+            return loss
+
+        dt = _timed(one, repeats)
         results[nd] = {"edges_per_sec": edges / dt, "step_ms": dt * 1000}
 
     base = None
@@ -163,13 +183,7 @@ def measure_time_shard(device_counts: List[int], repeats: int = 10,
                 jnp.asarray(ws.feat), jnp.asarray(ws.n_before),
                 jnp.asarray(ws.n_after), jnp.asarray(plan.send_idx),
                 jnp.asarray(plan.send_valid))
-        logits, _, _ = fwd(*args)
-        jax.block_until_ready(logits)
-        t0 = time.perf_counter()
-        for _ in range(repeats):
-            logits, _, _ = fwd(*args)
-        jax.block_until_ready(logits)
-        dt = (time.perf_counter() - t0) / repeats
+        dt = _timed(lambda: fwd(*args)[0], repeats)
         results[nd] = {
             "edges_per_sec": edges / dt,
             "step_ms": dt * 1000,
@@ -227,15 +241,7 @@ def _measure_nocomm_control(device_counts, cap, n_steps, nhidden, repeats):
         fwd = jax.jit(shard_map(body, mesh=mesh, in_specs=(P(), P("time")),
                                 out_specs=P("time"), check_vma=False))
         x = jax.random.normal(jax.random.key(2), (cap, nhidden))
-        r = fwd(params, x)
-        jax.block_until_ready(r)
-        import time as _t
-
-        t0 = _t.perf_counter()
-        for _ in range(repeats):
-            r = fwd(params, x)
-        jax.block_until_ready(r)
-        out[nd] = (_t.perf_counter() - t0) / repeats * 1000
+        out[nd] = _timed(lambda: fwd(params, x), repeats) * 1000
     return out
 
 

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from trackmpnn_tpu.models import nn
+from trackmpnn_tpu.models import mpnn, nn
 from trackmpnn_tpu.ops import segment_max, segment_sum
 
 _NEG_LARGE = -1e30
@@ -201,7 +201,8 @@ def _gat_head_sharded(params, h_b, h_ext, local, halo, axis_name,
 
     h_att_ext = h_ext @ params["W_att"]
     a_in = jnp.where(em[:, None], jnp.abs(h_att_ext[pe] - h_att_ext[fe]), 0.0)
-    e_score = jax.nn.leaky_relu(a_in @ params["a"], 0.2)[:, 0]  # [blk]
+    e_score = jax.nn.leaky_relu(a_in @ params["a"],
+                                mpnn.LEAKY_ALPHA)[:, 0]  # [blk]
 
     E = h_ext.shape[0]
     seg2 = jnp.concatenate([pe, fe])
@@ -223,7 +224,7 @@ def _gat_head_sharded(params, h_b, h_ext, local, halo, axis_name,
     s_all = _halo_fetch(s_loc, send_idx, send_valid, axis_name)
     att = ex / jnp.maximum(s_all[seg2], 1e-30)
     if drop_mask is not None:
-        att = att * drop_mask / 0.5  # ATT_DROPOUT = 0.5
+        att = att * drop_mask / (1.0 - mpnn.ATT_DROPOUT)
 
     sign = jnp.concatenate([jnp.ones(blk), -jnp.ones(blk)])
     h2 = jnp.concatenate([h_b, h_b], axis=0)

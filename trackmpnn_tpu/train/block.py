@@ -276,14 +276,20 @@ def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, st,
                                 / jnp.maximum(size_col, 1.0), 0.0))
 
     # ---- CE future side: per-(block, active-row) partials + segment ops ----
-    gmax = jax.lax.stop_gradient(
-        jnp.max(jnp.where(em3, logits_e, -jnp.inf), initial=0.0))
-    sexp_row = jnp.sum(jnp.where(em3, jnp.exp(logits_e - gmax), 0.0), axis=2)
+    # The shift must be PER DETECTION (a single global max lets exp()
+    # underflow to 0 for dets whose logits sit far below the batch max,
+    # silently corrupting their CE term and killing their gradient).
+    m_r = jnp.max(jnp.where(em3, logits_e, neg), axis=2)        # [BT, na]
+    m_d = jax.lax.stop_gradient(
+        segment_max(m_r.reshape(-1), act_flat, nD, mask=act_m))
+    safe_d = jnp.where(m_d > neg / 2, m_d, 0.0)
+    shift = safe_d[bb.active_idx][:, :, None]
+    sexp_row = jnp.sum(jnp.where(em3, jnp.exp(logits_e - shift), 0.0), axis=2)
     cnt_row = jnp.where(blk_live[:, None] & row_m,
                         bb.blk_nt[:, None].astype(jnp.float32), 0.0)
     packed = jnp.stack([sexp_row, cnt_row], axis=-1).reshape(-1, 2)
     sums = segment_sum(packed, act_flat, nD, mask=act_m)
-    lse_d = gmax + jnp.log(jnp.maximum(sums[:, 0], 1e-30))
+    lse_d = safe_d + jnp.log(jnp.maximum(sums[:, 0], 1e-30))
     size_d = sums[:, 1]
     # the earliest positive-TARGET edge out of a det IS its earliest
     # positive-LABEL edge (part_b): that edge is always in the target set
