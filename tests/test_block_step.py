@@ -145,9 +145,11 @@ def _gat_model(nattheads=2, seed=0):
     return cfg, params, mpnn.init_batch_stats(cfg)
 
 
+@pytest.mark.parametrize("fused", [False, True])
 @pytest.mark.parametrize("train", [True, False])
-def test_block_gat_matches_packed(monkeypatch, train):
-    """GAT heads in dual layout == row layout (loss, aux, grads).
+def test_block_gat_matches_packed(monkeypatch, train, fused):
+    """GAT heads in dual layout == row layout (loss, aux, grads), with and
+    without the fused round (GAT uses the kernel for the edge GRU only).
 
     Attention dropout is neutralized (ATT_DROPOUT=0) because the two
     layouts draw their keep masks in different shapes/orders; with it off,
@@ -159,14 +161,15 @@ def test_block_gat_matches_packed(monkeypatch, train):
     bb = build_block_batch(schedules, TCAP)
     rng = jax.random.key(11)
 
-    def run(fwd, batch):
+    def run(fwd, batch, **kw):
         def f(p):
-            return fwd(p, stats, cfg, batch, True, train=train, rng=rng)
+            return fwd(p, stats, cfg, batch, True, train=train, rng=rng,
+                       **kw)
         (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
         return loss, aux, grads
 
     lp, ap, gp = run(packed_window_forward, pb)
-    lb, ab, gb = run(block_window_forward, bb)
+    lb, ab, gb = run(block_window_forward, bb, fused=fused)
     np.testing.assert_allclose(float(lb), float(lp), rtol=1e-4)
     np.testing.assert_allclose(float(ab["loss_ce"]), float(ap["loss_ce"]),
                                rtol=1e-4, atol=1e-6)

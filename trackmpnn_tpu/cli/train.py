@@ -240,7 +240,7 @@ def main(argv: Optional[List[str]] = None):
         dt_lp = jnp.bfloat16 if getattr(args, "bf16", True) else None
         # fused Pallas round: TPU-compiled kernel; interpret mode off-TPU is
         # slow, so the CPU backend keeps the XLA round unless forced
-        fused = (getattr(args, "fused", True) and cfg.nattheads == 0
+        fused = (getattr(args, "fused", True)
                  and (jax.default_backend() == "tpu"
                       or os.environ.get("TM_FUSED", "") == "1"))
         where = f"{batch_windows} windows/step"

@@ -394,9 +394,9 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     fused=True routes the message-passing round through the fused Pallas
     kernel (ops/pallas_block.py): gate matmul, nonlinearities, masking and
     the row/col edge_support partials execute in VMEM, so the edge
-    rectangle makes one HBM round trip per round instead of ~6.  No-GAT
-    configs only (the GAT support keeps the XLA path); interpret mode is
-    selected automatically off-TPU.
+    rectangle makes one HBM round trip per round instead of ~6.  GAT
+    configs use the kernel for the edge GRU and keep the XLA attention
+    aggregation; interpret mode is selected automatically off-TPU.
 
     axis_name: running under shard_map with windows split over that mesh
     axis (parallel/block_parallel.py).  BatchNorm moments and the
@@ -406,7 +406,10 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     if train and cfg.nattheads > 0 and rng is None:
         raise ValueError("training with GAT heads needs an rng key for "
                          "attention dropout (pass rng=...)")
-    use_fused = fused and cfg.nattheads == 0
+    # The fused round applies to GAT configs too: GAT only changes the node
+    # aggregation (attention-weighted sums in _block_gat_support), not the
+    # edge GRU the kernel computes; its rs/cs outputs just go unused there.
+    use_fused = fused
     # The fused LOSS kernels are correct but measured SLOWER than the XLA
     # loss path (16.0 vs 14.2 ms/step: 3 extra kernel launches/step exceed
     # the ~3 ms of small fusions they replace; docs/RESULTS.md) - opt-in
@@ -548,7 +551,10 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
             if cfg.nattheads > 0:
                 rng_sb = (jax.random.fold_in(rng_s, bi)
                           if rng_s is not None else None)
-                es = _block_gat_support(bp["gat"], h_d_b, h_e_b, bb, em3,
+                # attention weights are zero at padded entries, so the raw
+                # rectangle is safe when the fused round skipped the mask
+                h_e_att = h_e_sl if use_fused else h_e_b
+                es = _block_gat_support(bp["gat"], h_d_b, h_e_att, bb, em3,
                                         seg, vm, nD, rng_sb, train)
             else:
                 if not use_fused:

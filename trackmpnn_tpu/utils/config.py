@@ -83,9 +83,9 @@ def build_train_parser() -> argparse.ArgumentParser:
                    default=True,
                    help="batched (block) training runs the message-passing "
                         "round as a fused Pallas kernel (one HBM round trip "
-                        "per round; 1.7x step speedup on v5e, "
-                        "docs/RESULTS.md).  Applies on TPU for non-GAT "
-                        "configs; --no-fused keeps the pure-XLA round")
+                        "per round; ~2x step speedup on v5e, "
+                        "docs/RESULTS.md).  Applies on TPU; --no-fused "
+                        "keeps the pure-XLA round")
     return p
 
 
