@@ -73,20 +73,26 @@ def _gates(he_m, ga, gb, whh, bhh, sign, mm_dtype):
     return r, z, n, ghn
 
 
-def _fwd_kernel(he_ref, ga_ref, gb_ref, whh_ref, bhh_ref, m_ref,
-                eo_ref, rs_ref, cs_ref, *, sign, mm_dtype):
+def _fwd_kernel(he_ref, ga_ref, gb_ref, whh_ref, bhh_ref, web_ref, m_ref,
+                eo_ref, rs_ref, cs_ref, lg_ref, *, sign, mm_dtype):
     m = m_ref[:][..., None]                          # [G, na, nt, 1]
     he_m = he_ref[:].astype(jnp.float32) * m
     r, z, n, _ = _gates(he_m, ga_ref[:], gb_ref[:], whh_ref[:], bhh_ref[:],
                         sign, mm_dtype)
-    eo_ref[:] = (((1.0 - z) * n + z * he_m) * m).astype(eo_ref.dtype)
+    G, na, nt, H = he_ref.shape
+    eo = ((1.0 - z) * n + z * he_m) * m
+    eo_ref[:] = eo.astype(eo_ref.dtype)
     rs_ref[:] = jnp.sum(he_m, axis=2)
     cs_ref[:] = jnp.sum(he_m, axis=1)
+    # this branch's edge-head partial: Sum_h eo * w_eb[h] (the loss side
+    # then never re-reads the H-wide rectangle to form logits)
+    lg_ref[:] = jnp.dot(eo.reshape(G * na * nt, H), web_ref[:],
+                        preferred_element_type=jnp.float32).reshape(G, na, nt)
 
 
-def _bwd_kernel(he_ref, ga_ref, gb_ref, whh_ref, whh_t_ref, bhh_ref, m_ref,
-                geo_ref, grs_ref, gcs_ref,
-                dhe_ref, dga_ref, dgb_ref, dwhh_ref, dbhh_ref,
+def _bwd_kernel(he_ref, ga_ref, gb_ref, whh_ref, whh_t_ref, bhh_ref,
+                web_ref, m_ref, geo_ref, grs_ref, gcs_ref, glg_ref,
+                dhe_ref, dga_ref, dgb_ref, dwhh_ref, dbhh_ref, dweb_ref,
                 *, sign, mm_dtype):
     G, na, nt, H = he_ref.shape
     m = m_ref[:][..., None]
@@ -94,7 +100,14 @@ def _bwd_kernel(he_ref, ga_ref, gb_ref, whh_ref, whh_t_ref, bhh_ref, m_ref,
     r, z, n, ghn = _gates(he_m, ga_ref[:], gb_ref[:], whh_ref[:], bhh_ref[:],
                           sign, mm_dtype)
 
-    go = geo_ref[:].astype(jnp.float32) * m          # d(pre-mask output)
+    # d(masked edge_out): direct cotangent + the head's g_lg (x) w_eb
+    glg = glg_ref[:]
+    go = (geo_ref[:].astype(jnp.float32)
+          + glg[..., None] * web_ref[:].reshape(1, 1, 1, H)) * m
+    # dw_eb (as [1, H], transposed outside) from the recomputed output
+    eo = ((1.0 - z) * n + z * he_m) * m
+    dweb = jnp.sum((eo * glg[..., None]).reshape(G * na * nt, H), axis=0,
+                   keepdims=True)
     dz = go * (he_m - n)
     dpre_n = go * (1.0 - z) * (1.0 - n * n)
     dgi_n = dpre_n
@@ -119,100 +132,113 @@ def _bwd_kernel(he_ref, ga_ref, gb_ref, whh_ref, whh_t_ref, bhh_ref, m_ref,
     def _init():
         dwhh_ref[:] = dwhh
         dbhh_ref[:] = dbhh
+        dweb_ref[:] = dweb
 
     @pl.when(pl.program_id(0) > 0)
     def _acc():
         dwhh_ref[:] += dwhh
         dbhh_ref[:] += dbhh
+        dweb_ref[:] += dweb
 
 
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def fused_block_round(h_e, ga, gb, w_hh, b_hh, mask3, sign, mm_dtype,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_block_round(h_e, ga, gb, w_hh, b_hh, w_eb, mask3, sign, mm_dtype,
                       g=DEFAULT_G, interpret=False):
-    """(edge_out, rs, cs) for one message-passing round over edge rectangles.
+    """(edge_out, rs, cs, logit) for one message-passing round.
 
     h_e [BT,na,nt,H] (f32/bf16); ga [BT,na,3H] / gb [BT,nt,3H] f32 input
-    gates (ga includes b_ih); mask3 [BT,na,nt] f32 0/1; sign +-1.0 applies
-    to gb ('diff' = -1.0).  Returns edge_out in h_e's dtype, rs/cs f32.
+    gates (ga includes b_ih); w_eb [H,1] this branch's slice of the edge
+    output head (its bias is added by the caller); mask3 [BT,na,nt] f32
+    0/1; sign +-1.0 applies to gb ('diff' = -1.0).  Returns edge_out in
+    h_e's dtype, rs/cs f32, and the per-branch head partial
+    logit = edge_out @ w_eb, f32 [BT,na,nt].
     """
-    out, _ = _fwd(h_e, ga, gb, w_hh, b_hh, mask3, sign, mm_dtype, g,
+    out, _ = _fwd(h_e, ga, gb, w_hh, b_hh, w_eb, mask3, sign, mm_dtype, g,
                   interpret)
     return out
 
 
-def _fwd(h_e, ga, gb, w_hh, b_hh, mask3, sign, mm_dtype, g, interpret):
+def _fwd(h_e, ga, gb, w_hh, b_hh, w_eb, mask3, sign, mm_dtype, g, interpret):
     BT, na, nt, H = h_e.shape
     bt_pad = -(-BT // g) * g
     he_p, ga_p, gb_p, m_p = (_pad_bt(x, bt_pad) for x in (h_e, ga, gb, mask3))
     bhh2 = b_hh.reshape(1, 3 * H)
 
     kernel = functools.partial(_fwd_kernel, sign=sign, mm_dtype=mm_dtype)
-    eo, rs, cs = pl.pallas_call(
+    eo, rs, cs, lg = pl.pallas_call(
         kernel,
         grid=(bt_pad // g,),
         in_specs=_specs([he_p.shape, ga_p.shape, gb_p.shape], g)
-        + [_const_spec(w_hh.shape), _const_spec(bhh2.shape)]
+        + [_const_spec(w_hh.shape), _const_spec(bhh2.shape),
+           _const_spec(w_eb.shape)]
         + _specs([m_p.shape], g),
         out_specs=tuple(_specs([(bt_pad, na, nt, H), (bt_pad, na, H),
-                                (bt_pad, nt, H)], g)),
+                                (bt_pad, nt, H), (bt_pad, na, nt)], g)),
         out_shape=(
             jax.ShapeDtypeStruct((bt_pad, na, nt, H), h_e.dtype),
             jax.ShapeDtypeStruct((bt_pad, na, H), jnp.float32),
             jax.ShapeDtypeStruct((bt_pad, nt, H), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, na, nt), jnp.float32),
         ),
         interpret=interpret,
-    )(he_p, ga_p, gb_p, w_hh, bhh2, m_p)
-    out = (eo[:BT], rs[:BT], cs[:BT])
-    return out, (h_e, ga, gb, w_hh, b_hh, mask3)
+    )(he_p, ga_p, gb_p, w_hh, bhh2, w_eb, m_p)
+    out = (eo[:BT], rs[:BT], cs[:BT], lg[:BT])
+    return out, (h_e, ga, gb, w_hh, b_hh, w_eb, mask3)
 
 
 def _bwd(sign, mm_dtype, g, interpret, res, grads):
-    h_e, ga, gb, w_hh, b_hh, mask3 = res
-    g_eo, g_rs, g_cs = grads
+    h_e, ga, gb, w_hh, b_hh, w_eb, mask3 = res
+    g_eo, g_rs, g_cs, g_lg = grads
     BT, na, nt, H = h_e.shape
     bt_pad = -(-BT // g) * g
-    he_p, ga_p, gb_p, m_p, geo_p, grs_p, gcs_p = (
+    he_p, ga_p, gb_p, m_p, geo_p, grs_p, gcs_p, glg_p = (
         _pad_bt(x, bt_pad)
-        for x in (h_e, ga, gb, mask3, g_eo, g_rs, g_cs))
+        for x in (h_e, ga, gb, mask3, g_eo, g_rs, g_cs, g_lg))
     bhh2 = b_hh.reshape(1, 3 * H)
     whh_t = w_hh.T
 
     kernel = functools.partial(_bwd_kernel, sign=sign, mm_dtype=mm_dtype)
-    dhe, dga, dgb, dwhh, dbhh = pl.pallas_call(
+    dhe, dga, dgb, dwhh, dbhh, dweb = pl.pallas_call(
         kernel,
         grid=(bt_pad // g,),
         in_specs=_specs([he_p.shape, ga_p.shape, gb_p.shape], g)
         + [_const_spec(w_hh.shape), _const_spec(whh_t.shape),
-           _const_spec(bhh2.shape)]
-        + _specs([m_p.shape, geo_p.shape, grs_p.shape, gcs_p.shape], g),
+           _const_spec(bhh2.shape), _const_spec(w_eb.shape)]
+        + _specs([m_p.shape, geo_p.shape, grs_p.shape, gcs_p.shape,
+                  glg_p.shape], g),
         out_specs=tuple(
             _specs([(bt_pad, na, nt, H), (bt_pad, na, 3 * H),
                     (bt_pad, nt, 3 * H)], g)
-            + [_const_spec((H, 3 * H)), _const_spec((1, 3 * H))]),
+            + [_const_spec((H, 3 * H)), _const_spec((1, 3 * H)),
+               _const_spec((1, H))]),
         out_shape=(
             jax.ShapeDtypeStruct((bt_pad, na, nt, H), h_e.dtype),
             jax.ShapeDtypeStruct((bt_pad, na, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((bt_pad, nt, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
         ),
         interpret=interpret,
-    )(he_p, ga_p, gb_p, w_hh, whh_t, bhh2, m_p, geo_p, grs_p, gcs_p)
+    )(he_p, ga_p, gb_p, w_hh, whh_t, bhh2, w_eb, m_p, geo_p, grs_p, gcs_p,
+      glg_p)
     return (dhe[:BT], dga[:BT], dgb[:BT], dwhh, dbhh.reshape(3 * H),
-            jnp.zeros_like(mask3))
+            dweb.T, jnp.zeros_like(mask3))
 
 
 fused_block_round.defvjp(_fwd, _bwd)
 
 
-def reference_block_round(h_e, ga, gb, w_hh, b_hh, mask3, sign,
+def reference_block_round(h_e, ga, gb, w_hh, b_hh, w_eb, mask3, sign,
                           mm_dtype=None):
     """Plain-XLA oracle with identical semantics (for parity tests)."""
     H = h_e.shape[-1]
     m = mask3[..., None]
     he_m = h_e.astype(jnp.float32) * m
     r, z, n, _ = _gates(he_m, ga, gb, w_hh, b_hh, sign, mm_dtype)
-    eo = (((1.0 - z) * n + z * he_m) * m).astype(h_e.dtype)
-    return eo, jnp.sum(he_m, axis=2), jnp.sum(he_m, axis=1)
+    eo_f = ((1.0 - z) * n + z * he_m) * m
+    lg = (eo_f @ w_eb)[..., 0]
+    return eo_f.astype(h_e.dtype), jnp.sum(he_m, axis=2), \
+        jnp.sum(he_m, axis=1), lg

@@ -486,7 +486,7 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
 
         n_phantom = jnp.sum(jnp.where(blk_new, bb.blk_na * bb.blk_nt, 0))
 
-        hd_parts, he_parts, stats_new = [], [], []
+        hd_parts, he_parts, lg_parts, stats_new = [], [], [], []
         for bi in range(nb):
             bp = params["branches"][bi]
             bs = stats["branches"][bi]["bn"]
@@ -523,9 +523,11 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                     sgn = -1.0
                 ga = ga_d[bb.active_idx] + eg["b_ih"]
                 gb = gb_d[bb.newdet_idx]
-                edge_out, rs, cs = fused_block_round(
-                    h_e_sl, ga, gb, eg["w_hh"], eg["b_hh"], m3, sgn,
+                w_eb = params["out_edge"]["w"][bi * H:(bi + 1) * H]
+                edge_out, rs, cs, lg = fused_block_round(
+                    h_e_sl, ga, gb, eg["w_hh"], eg["b_hh"], w_eb, m3, sgn,
                     compute_dtype, PB_G, interp)
+                lg_parts.append(lg)
             else:
                 # XLA fallback keeps the ns-matmul formulation: on-chip the
                 # bf16 rectangle matmul + fused epilogue beats an f32
@@ -601,8 +603,13 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                 fp = fp + jnp.sum(det_live & pred_d & (t_d != 1))
                 fn = fn + jnp.sum(det_live & ~pred_d & (t_d == 1))
         else:
-            logits_e = nn.linear(params["out_edge"], h_e_out)[..., 0]
-            logits_e = jnp.where(em3, logits_e, 0.0)
+            if use_fused:
+                # head partials came out of the round kernel per branch
+                logits_e = jnp.where(
+                    em3, sum(lg_parts) + params["out_edge"]["b"][0], 0.0)
+            else:
+                logits_e = nn.linear(params["out_edge"], h_e_out)[..., 0]
+                logits_e = jnp.where(em3, logits_e, 0.0)
 
             t_d, t_e, l_ce = _block_targets_and_ce(
                 logits_d, logits_e, bb, st, det_live, blk_live, row_m,
