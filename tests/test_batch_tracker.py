@@ -39,3 +39,21 @@ def test_batched_matches_single(model, hungarian):
     assert len(got) == len(want)
     for k, (a, b) in enumerate(zip(got, want)):
         np.testing.assert_array_equal(a, b, err_msg=f"sequence {k}")
+
+
+def test_batched_matches_single_with_pruning(model):
+    """prune_threshold must apply identically in both trackers (it was
+    silently ignored by BatchedTracker)."""
+    cfg, params, stats = model
+    tcfg = TrackerConfig(cur_win_size=4, ret_win_size=1, hungarian=False,
+                         bucket=128, prune_threshold=0.3)
+    seqs = []
+    for seed, frames in [(41, 8), (42, 7)]:
+        feats, bp, _ = make_sequence(num_tracks=4, num_frames=frames,
+                                     seed=seed, miss_rate=0.15, fp_rate=0.2)
+        seqs.append((feats, bp[:, :2].astype(np.int64)))
+    single = Tracker(params, stats, cfg, tcfg)
+    want = [single.run(X, y) for X, y in seqs]
+    got = BatchedTracker(params, stats, cfg, tcfg).run(seqs)
+    for k, (a, b) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(a, b, err_msg=f"sequence {k}")

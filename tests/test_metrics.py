@@ -75,3 +75,21 @@ def test_map_perfect_and_missing():
     # drop one detection: recall caps at 2/3
     pred2 = {"s": (y[:2], bbox[:2])}
     assert abs(compute_map(pred2, gt_dict) - 2 / 3) < 1e-6
+
+
+def test_map_ignores_detections_on_gt_empty_frames():
+    """The reference evaluator iterates frames from the GT dict only
+    (metrics.py:136): detections on a frame with zero GT rows contribute
+    neither FPs nor PR entries."""
+    y_gt = np.array([[0, 0]], np.int64)
+    gt = np.zeros((1, 14), np.float32)
+    gt[:, 0] = 1
+    gt[:, 2:6] = [[0, 0, 10, 10]]
+    gt[:, 13] = 1.0
+    # prediction matches frame 0's GT AND adds a det on GT-empty frame 5
+    y_pred = np.array([[0, 0], [5, 1]], np.int64)
+    pred = np.zeros((2, 14), np.float32)
+    pred[:, 0] = 1
+    pred[:, 2:6] = [[0, 0, 10, 10], [50, 50, 60, 60]]
+    pred[:, 13] = [0.9, 0.95]
+    assert compute_map({"s": (y_pred, pred)}, {"s": (y_gt, gt)}) == 1.0

@@ -73,10 +73,21 @@ class BDD100kMOTDataset:
         self.ret_win_size = ret_win_size
         self.random_transforms = random_transforms
         self.embed_fn = embed_fn
+        if "vis" in feats and embed_fn is None and not defer_vis:
+            raise ValueError(
+                "feats includes 'vis' but no embed_fn was given and "
+                "defer_vis is off - appearance features would crash at the "
+                "first __getitem__; pass embed_fn=... or defer_vis=True")
         self.down_ratio = down_ratio
         self.input_hw = input_hw
         self.num_vis_feats = num_vis_feats
         self.default_im_hw = default_im_hw
+        # per-sequence caches: the label file was re-opened and linearly
+        # re-scanned for EVERY frame (O(frames^2) parsing per epoch with
+        # overlapping chunks), and the image re-opened per frame just for
+        # its constant size
+        self._label_cache: dict = {}
+        self._im_hw_cache: dict = {}
         self.score_threshold = score_threshold
         self.dropout_ratio = 0.2
         self.fr_range = 30
@@ -105,41 +116,52 @@ class BDD100kMOTDataset:
         return len(self.chunks)
 
     def _im_size(self, seq, fr):
+        # cached per sequence (constant within one)
+        if seq in self._im_hw_cache:
+            return self._im_hw_cache[seq]
         p = os.path.join(self.im_path, seq, "%.4d.jpg" % fr)
         try:
             import PIL.Image
 
             with PIL.Image.open(p) as im:
-                return (im.size[1], im.size[0])
+                hw = (im.size[1], im.size[0])
         except Exception:
-            return self.default_im_hw
+            hw = self.default_im_hw
+        self._im_hw_cache[seq] = hw
+        return hw
+
+
+    def _label_rows(self, seq):
+        """Frame-indexed raw token rows of <seq>.txt, parsed once."""
+        cached = self._label_cache.get(seq)
+        if cached is None:
+            cached = {}
+            with open(os.path.join(self.label_path, seq + ".txt")) as f:
+                for line in f:
+                    t = line.strip().split(" ")
+                    cached.setdefault(int(t[0]), []).append(t)
+            self._label_cache[seq] = cached
+        return cached
 
     def load_labels(self, seq, fr, im_shape, hflip):
         rows = []
         if self.label_path is None:
             return np.zeros((0, 16), np.float32)
-        with open(os.path.join(self.label_path, seq + ".txt")) as f:
-            for line in f:
-                t = line.strip().split(" ")
-                frame = int(t[0])
-                if frame < fr:
-                    continue
-                if frame > fr:
-                    break
-                name = t[2]
-                if name not in self.cats:
-                    continue
-                alpha = float(t[5])
-                box = [float(t[6]), float(t[7]), float(t[8]), float(t[9])]
-                dim = [float(t[10]), float(t[11]), float(t[12])]
-                loc = [float(t[13]), float(t[14]), float(t[15])]
-                ry = float(t[16])
-                if hflip:
-                    alpha = -alpha
-                    box = common.hflip_box(box, im_shape[1])
-                    loc = [-loc[0], loc[1], loc[2]]
-                    ry = common.hflip_rotation_y(ry)
-                rows.append([fr, int(t[1]), CAT_IDS[name], alpha, *box, *dim, *loc, ry, 1.0])
+        for t in self._label_rows(seq).get(fr, []):
+            name = t[2]
+            if name not in self.cats:
+                continue
+            alpha = float(t[5])
+            box = [float(t[6]), float(t[7]), float(t[8]), float(t[9])]
+            dim = [float(t[10]), float(t[11]), float(t[12])]
+            loc = [float(t[13]), float(t[14]), float(t[15])]
+            ry = float(t[16])
+            if hflip:
+                alpha = -alpha
+                box = common.hflip_box(box, im_shape[1])
+                loc = [-loc[0], loc[1], loc[2]]
+                ry = common.hflip_rotation_y(ry)
+            rows.append([fr, int(t[1]), CAT_IDS[name], alpha, *box, *dim, *loc, ry, 1.0])
         return np.array(rows, np.float32) if rows else np.zeros((0, 16), np.float32)
 
     def load_detections(self, seq, fr, im_shape, hflip):

@@ -20,9 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from trackmpnn_tpu.decode.tracker import TrackerConfig, _bucketed
+from trackmpnn_tpu.decode.tracker import (TrackerConfig, _bucketed,
+                                          scores2_from_probs)
 from trackmpnn_tpu.graph import engine
-from trackmpnn_tpu.graph.view import GraphView
+from trackmpnn_tpu.graph.view import GraphView, pack_slots
 from trackmpnn_tpu.models import mpnn
 
 
@@ -101,17 +102,20 @@ class _SeqState:
         n = self.g.n
         probs = probs[:n]
         self.hidden = hidden[:n]
-        s = np.stack([1.0 - probs, probs], axis=1).astype(np.float32)
-        if not c.tp_classifier:
-            det = self.g.ts != -1
-            s[det, 0] = 0.0
-            s[det, 1] = 1.0
-        self.scores2 = s
+        self.scores2 = scores2_from_probs(self.g, probs, c.tp_classifier)
         if on_step is not None:
             on_step(self.g, self.scores2)
         if self.phase == "after_init":
             self.phase = "loop"
             return
+        if c.prune_threshold is not None and self.g.n > 0:
+            keep = engine.prune(
+                self.g, self.scores2,
+                int(self.g.ts[self.g.ts != -1].min())
+                if np.any(self.g.ts != -1) else 0,
+                self.t_cur, c.prune_threshold)
+            self.hidden = self.hidden[keep]
+            self.scores2 = self.scores2[keep]
         t_upto = self.t_end if self.t_cur == self.t_end - 1 else \
             self.t_cur - c.cur_win_size + 2
         keep = engine.decode_tracks(self.g, self.scores2, self.y_out, t_upto,
@@ -124,20 +128,10 @@ class _SeqState:
     # --------------------------------------------------------------- view --
     def view(self, cap: int, nfeats: int):
         g = self.g
-        n = g.n
+        is_det, past, fut, feat = pack_slots(g, self.X, cap)
         idx = np.arange(cap, dtype=np.int32)
-        is_det = np.zeros(cap, bool)
-        is_det[:n] = g.ts != -1
-        past = idx.copy()
-        fut = idx.copy()
-        er = np.where(g.ts == -1)[0]
-        past[er] = g.past[er]
-        fut[er] = g.fut[er]
-        live = idx < n
-        new = (idx >= n - self.n_new) & live
-        feat = np.zeros((cap, nfeats), np.float32)
-        dr = np.where(g.ts != -1)[0]
-        feat[dr] = self.X[g.det_id[dr]]
+        live = idx < g.n
+        new = (idx >= g.n - self.n_new) & live
         h = np.zeros((cap, self.nbh), np.float32)
         if self.hidden is not None and self.hidden.shape[0]:
             h[: self.hidden.shape[0]] = self.hidden[:cap]

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from trackmpnn_tpu.graph import engine
-from trackmpnn_tpu.graph.view import GraphView
+from trackmpnn_tpu.graph.view import GraphView, pack_slots
 from trackmpnn_tpu.models import mpnn
 
 
@@ -61,6 +61,19 @@ def _forward_step(params, batch_stats, cfg, g: GraphView, h_prev, train=False):
     return out.scores, out.logits, out.hidden, out.attention
 
 
+def scores2_from_probs(g: "engine.RollingGraph", probs: np.ndarray,
+                       tp_classifier: bool) -> np.ndarray:
+    """(1-p, p) rows; detections forced TP without the classifier head
+    (ref infer.py:53-56).  Shared by Tracker and BatchedTracker so the
+    forced-TP rule cannot silently diverge between them."""
+    s = np.stack([1.0 - probs, probs], axis=1).astype(np.float32)
+    if not tp_classifier:
+        det = g.ts != -1
+        s[det, 0] = 0.0
+        s[det, 1] = 1.0
+    return s
+
+
 class Tracker:
     """Runs full-sequence tracking with a trained model."""
 
@@ -72,34 +85,17 @@ class Tracker:
 
     # ------------------------------------------------------------ helpers --
     def _view(self, g: engine.RollingGraph, X: np.ndarray, n_new: int, cap: int) -> GraphView:
-        n = g.n
+        is_det, past, fut, feat = pack_slots(g, X, cap)
         idx = np.arange(cap, dtype=np.int32)
-        is_det = np.zeros(cap, bool)
-        is_det[:n] = g.ts != -1
-        past = idx.copy()
-        fut = idx.copy()
-        er = np.where(g.ts == -1)[0]
-        past[er] = g.past[er]
-        fut[er] = g.fut[er]
-        live = idx < n
-        new = (idx >= n - n_new) & live
-        feat = np.zeros((cap, X.shape[1]), np.float32)
-        dr = np.where(g.ts != -1)[0]
-        feat[dr] = X[g.det_id[dr]]
+        live = idx < g.n
+        new = (idx >= g.n - n_new) & live
         return GraphView(
             is_det=jnp.asarray(is_det), past=jnp.asarray(past), fut=jnp.asarray(fut),
             live=jnp.asarray(live), new=jnp.asarray(new), feat=jnp.asarray(feat),
         )
 
     def _scores2(self, g: engine.RollingGraph, probs: np.ndarray) -> np.ndarray:
-        """(1-p, p) rows; detections forced TP without the classifier head
-        (ref infer.py:53-56)."""
-        s = np.stack([1.0 - probs, probs], axis=1).astype(np.float32)
-        if not self.cfg.tp_classifier:
-            det = g.ts != -1
-            s[det, 0] = 0.0
-            s[det, 1] = 1.0
-        return s
+        return scores2_from_probs(g, probs, self.cfg.tp_classifier)
 
     def _run_forward(self, g, X, n_new, h_prev):
         cap = _bucketed(g.n, self.cfg.bucket)

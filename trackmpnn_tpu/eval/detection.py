@@ -52,9 +52,12 @@ def _index_by_frame_class(bbox_dict):
 
 def compute_map(bbox_pred_dict, bbox_gt_dict, iou_threshold: float = 0.5) -> float:
     """bbox rows: (cat, alpha, x1, y1, x2, y2, h, w, l, x, y, z, rot, score)."""
-    dets, det_frames, _ = _index_by_frame_class(bbox_pred_dict)
+    dets, _, _ = _index_by_frame_class(bbox_pred_dict)
     anns, ann_frames, classes = _index_by_frame_class(bbox_gt_dict)
-    all_frames = sorted(det_frames | ann_frames)
+    # the reference iterates unique_ids built from the GT dict ONLY
+    # (metrics.py:136): a frame with detections but zero GT rows is never
+    # visited, so those detections are neither FPs nor PR-curve entries
+    all_frames = sorted(ann_frames)
 
     aps = {}
     for cls in sorted(classes):

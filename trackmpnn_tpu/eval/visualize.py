@@ -11,7 +11,7 @@ import glob
 import os
 import random
 from collections import defaultdict
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -29,8 +29,8 @@ def generate_colors(n: int = 30, seed: int = 0):
     return colors
 
 
-def parse_kitti_results(path: str) -> Dict[int, List]:
-    """result txt -> {frame: [x1, y1, x2, y2, track, cat, score]}."""
+def parse_kitti_results(path: str) -> Tuple[Dict[int, List], int]:
+    """result txt -> ({frame: [x1, y1, x2, y2, track, cat, score]}, max_track)."""
     frames = defaultdict(list)
     max_track = 0
     with open(path) as f:

@@ -22,6 +22,7 @@ from typing import Optional
 import numpy as np
 
 from trackmpnn_tpu.graph import engine
+from trackmpnn_tpu.graph.view import pack_slots
 
 
 @dataclass
@@ -100,20 +101,9 @@ def build_window_schedule(
     if t_cap < n_steps:
         raise ValueError(f"t_cap {t_cap} < required steps {n_steps}")
 
-    idx = np.arange(cap, dtype=np.int32)
-    is_det = np.zeros(cap, bool)
-    is_det[:n] = g.ts != -1
-    past = idx.copy()
-    fut = idx.copy()
-    er = np.where(g.ts == -1)[0]
-    past[er] = g.past[er]
-    fut[er] = g.fut[er]
+    is_det, past, fut, feat = pack_slots(g, X, cap)
     label = np.zeros(cap, np.int32)
     label[:n] = g.label
-
-    feat = np.zeros((cap, X.shape[1]), np.float32)
-    dr = np.where(g.ts != -1)[0]
-    feat[dr] = X[g.det_id[dr]]
 
     n_before = np.full(t_cap, n, np.int32)
     n_after = np.full(t_cap, n, np.int32)
@@ -126,7 +116,8 @@ def build_window_schedule(
     return WindowSchedule(
         is_det=is_det, past=past, fut=fut, label=label, feat=feat,
         n_before=n_before, n_after=n_after, step_valid=step_valid,
-        n_rows=n, n_steps=n_steps, n_edges=int(len(er)), blocks=blocks,
+        n_rows=n, n_steps=n_steps, n_edges=int(np.sum(g.ts == -1)),
+        blocks=blocks,
     )
 
 

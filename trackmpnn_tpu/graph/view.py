@@ -49,6 +49,31 @@ class GraphView(NamedTuple):
         return self.live & self.is_det
 
 
+def pack_slots(g, X: np.ndarray, cap: int):
+    """Pad a RollingGraph's slot arrays to `cap` (host-side, numpy).
+
+    The one place the slot layout is defined: is_det from ts != -1, edge
+    endpoints scattered onto self-index identity, detection features
+    gathered by det_id.  Returns (is_det, past, fut, feat) — callers add
+    their own live/new/label/hidden fields on top.  Shared by
+    Tracker._view, BatchedTracker._SeqState.view and
+    build_window_schedule so the training and inference views cannot
+    drift."""
+    n = g.n
+    idx = np.arange(cap, dtype=np.int32)
+    is_det = np.zeros(cap, bool)
+    is_det[:n] = g.ts != -1
+    past = idx.copy()
+    fut = idx.copy()
+    er = np.where(g.ts == -1)[0]
+    past[er] = g.past[er]
+    fut[er] = g.fut[er]
+    feat = np.zeros((cap, X.shape[1]), np.float32)
+    dr = np.where(g.ts != -1)[0]
+    feat[dr] = X[g.det_id[dr]]
+    return is_det, past, fut, feat
+
+
 def empty_view(capacity: int, nfeats: int) -> GraphView:
     idx = np.arange(capacity, dtype=np.int32)
     return GraphView(
