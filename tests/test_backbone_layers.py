@@ -66,7 +66,10 @@ def test_prelu_batchnorm(rng):
     beta = rng.normal(size=6).astype(np.float32)
     mean = rng.normal(size=6).astype(np.float32)
     var = rng.uniform(0.5, 2, 6).astype(np.float32)
-    got = L.batchnorm2d(jnp.asarray(x), *map(jnp.asarray, (gamma, beta, mean, var)))
+    bn_params = {"bn.weight": jnp.asarray(gamma), "bn.bias": jnp.asarray(beta),
+                 "bn.running_mean": jnp.asarray(mean),
+                 "bn.running_var": jnp.asarray(var)}
+    got = L.bn2d(bn_params, "bn", jnp.asarray(x))
     want = TF.batch_norm(to_nchw(x), torch.tensor(mean), torch.tensor(var),
                          torch.tensor(gamma), torch.tensor(beta), False, 0.0, 1e-5)
     np.testing.assert_allclose(np.asarray(got), from_nchw(want), rtol=1e-4, atol=1e-5)

@@ -34,15 +34,7 @@ def conv2d(x, w, stride=1, padding="SAME_TORCH", dilation=1, groups=1, ksize=Non
     )
 
 
-def batchnorm2d(x, gamma, beta, mean, var, train=False):
-    """Inference-mode BN2d (backbone trains rarely; when it does, stats are
-    updated by the caller via batch statistics over N, H, W)."""
-    if train:
-        m = jnp.mean(x, axis=(0, 1, 2))
-        v = jnp.var(x, axis=(0, 1, 2))
-    else:
-        m, v = mean, var
-    return (x - m) * jax.lax.rsqrt(v + BN_EPS) * gamma + beta
+
 
 
 # torch-parity running-stat updates: BN buffers are NOT parameters.  In

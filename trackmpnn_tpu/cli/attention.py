@@ -67,9 +67,11 @@ def main(argv: Optional[List[str]] = None):
                     per_head[h]["tp"].extend(vals[labs == 1].tolist())
                     per_head[h]["fp"].extend(vals[labs == 0].tolist())
 
-    from trackmpnn_tpu.cli.train import attach_vis, make_embed_trainer
+    from trackmpnn_tpu.cli.train import (attach_vis, load_vis_net,
+                                         make_embed_trainer)
 
     embed = make_embed_trainer(args)
+    load_vis_net(embed, args.snapshot)
     for b_idx in range(len(val_ds)):
         feats, bbox_pred, bbox_gt, vis_meta = val_ds[b_idx]
         if feats.shape[0] == 0:

@@ -20,23 +20,14 @@ def main(argv: Optional[List[str]] = None):
 
     import jax
 
-    from trackmpnn_tpu.cli.train import attach_vis, make_dataset, make_embed_trainer
+    from trackmpnn_tpu.cli.train import attach_vis, make_dataset, make_embed_trainer, load_vis_net
     from trackmpnn_tpu.decode import Tracker, TrackerConfig
     from trackmpnn_tpu.models import mpnn
     from trackmpnn_tpu.train import checkpoint
 
     infer_ds = make_dataset(args, "test")
     embed = make_embed_trainer(args)
-    if embed is not None:
-        # embedding snapshot resolved by naming convention next to the
-        # tracker snapshot (ref infer.py:15-16)
-        vis_path = os.path.join(
-            os.path.dirname(args.snapshot),
-            os.path.basename(args.snapshot).replace("track-mpnn", "vis-net"),
-        )
-        vstate = checkpoint.load(vis_path, {"params": embed.params,
-                                            "opt_state": embed.opt_state})
-        embed.params = vstate["params"]
+    load_vis_net(embed, args.snapshot)
     cfg = mpnn.ModelConfig(
         features=args.feats, ncategories=len(infer_ds.class_dict),
         nhidden=args.num_hidden_feats, nattheads=args.num_att_heads,

@@ -33,7 +33,8 @@ def main(argv: Optional[List[str]] = None):
 
     import jax
 
-    from trackmpnn_tpu.cli.train import attach_vis, make_dataset, make_embed_trainer
+    from trackmpnn_tpu.cli.train import (attach_vis, load_vis_net,
+                                         make_dataset, make_embed_trainer)
     from trackmpnn_tpu.decode import TrackerConfig
     from trackmpnn_tpu.decode.batch_tracker import BatchedTracker
     from trackmpnn_tpu.eval.mot import accumulate_sequence, summarize
@@ -43,6 +44,7 @@ def main(argv: Optional[List[str]] = None):
 
     val_ds = make_dataset(args, "val")
     embed = make_embed_trainer(args)
+    load_vis_net(embed, args.snapshot)
     cfg = mpnn.ModelConfig(
         features=args.feats, ncategories=len(val_ds.class_dict),
         nhidden=args.num_hidden_feats, nattheads=args.num_att_heads,

@@ -70,6 +70,36 @@ def make_embed_trainer(args):
                         seed=args.seed, train_bn=getattr(args, "train_bn", False))
 
 
+def load_vis_net(embed, snapshot_path: str, require: bool = True):
+    """Restore the embedding net saved next to a tracker snapshot.
+
+    The vis-net checkpoint is resolved by the reference's naming
+    convention (track-mpnn_X -> vis-net_X, ref infer.py:15-16).  Every
+    driver that attaches vis features to a loaded tracker MUST call this;
+    a freshly initialized backbone silently produces garbage appearance
+    features."""
+    import os as _os
+
+    from trackmpnn_tpu.train import checkpoint as _ckpt
+
+    if embed is None:
+        return
+    vis_path = _os.path.join(
+        _os.path.dirname(snapshot_path),
+        _os.path.basename(snapshot_path).replace("track-mpnn", "vis-net"),
+    )
+    if not _os.path.exists(vis_path):
+        if require:
+            raise FileNotFoundError(
+                f"feats include 'vis' but no embedding checkpoint at "
+                f"{vis_path} (saved alongside the tracker snapshot)")
+        return
+    vstate = _ckpt.load(vis_path, {"params": embed.params,
+                                   "opt_state": embed.opt_state})
+    embed.params = vstate["params"]
+    embed.opt_state = vstate["opt_state"]
+
+
 def attach_vis(features, vis_meta, embed, track_ids, train: bool):
     """Compute vis features for a chunk and append the normalized block.
     Returns (features, embed_loss)."""
@@ -215,6 +245,10 @@ def main(argv: Optional[List[str]] = None):
         opt_state = state["opt_state"]
         start_epoch = int(state["epoch"]) + 1
         best_mota = float(state["best_mota"])
+        # vis branch: restore the embedding net saved next to the snapshot
+        # (otherwise the resumed run silently trains on a fresh random
+        # backbone, discarding all embedding progress)
+        load_vis_net(embed, args.snapshot)
         log(f"resumed from {args.snapshot} at epoch {start_epoch}")
 
     # batched / sharded training path (net-new capability; reference is

@@ -37,7 +37,12 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and not _build():
+    # ALWAYS invoke make: it is an mtime-driven no-op when the .so is
+    # fresh, and it rebuilds after csrc edits that a pure existence check
+    # would silently ignore (stale-binary trap).  Falls back to a stale
+    # but existing .so if the toolchain is unavailable.
+    _build()
+    if not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

@@ -267,7 +267,10 @@ def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, st,
     col_has = st.col_has & blk_live[:, None]                    # [BT, nt]
     le = jnp.where(em3, logits_e, neg)
     m_col = jnp.max(le, axis=1)                                 # [BT, nt]
-    safe_m = jnp.where(col_has, m_col, 0.0)
+    # shift EVERY nonempty column (not just target-positive ones): an
+    # unshifted live column can exp-overflow to inf, and the masked-out
+    # forward still NaNs the backward through 0 * inf
+    safe_m = jnp.where(m_col > neg / 2, m_col, 0.0)
     sumexp = jnp.sum(jnp.where(em3, jnp.exp(logits_e - safe_m[:, None, :]), 0.0), axis=1)
     lse_col = safe_m + jnp.log(jnp.maximum(sumexp, 1e-30))
     sel_logit = jnp.sum(jnp.where(st.sel_mask, logits_e, 0.0), axis=1)

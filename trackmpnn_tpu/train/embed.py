@@ -151,6 +151,12 @@ class EmbedTrainer:
         images = np.zeros((t_cap, h, w, 3), np.float32)
         for t, (p, hf) in enumerate(vis_meta["images"]):
             images[t] = load_image(p, hf, self.input_hw)
+        # pad the frame axis by CYCLING real frames: all-zero padding frames
+        # would contaminate train-mode BatchNorm statistics (bn2d pools over
+        # N,H,W with no frame mask), both in the normalization and in the
+        # running-buffer updates
+        for t in range(T, t_cap):
+            images[t] = images[t % T]
         fr_of, cys, cxs = [], [], []
         for t, (cy, cx) in enumerate(vis_meta["centers"]):
             fr_of.extend([t] * len(cy))

@@ -75,7 +75,7 @@ def pack_schedules(schedules: List, cap: int, t_cap: int) -> PackedBatch:
     )
 
 
-def _per_window_bce(probs, targets, mask, window, n_windows):
+def _per_window_bce(probs, targets, mask, n_windows):
     """Per-window mean BCE (reference eps placement), then sum of means.
     Windows are contiguous slot blocks, so the per-window reduction is a
     reshape-sum - no scatter."""
@@ -186,10 +186,10 @@ def packed_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         edge_mask = live & ~pb.is_det
         node_mask = live & pb.is_det
         if tp_classifier:
-            l_f = _per_window_bce(out.scores, targets, node_mask, pb.window, B) + \
-                _per_window_bce(out.scores, targets, edge_mask, pb.window, B)
+            l_f = _per_window_bce(out.scores, targets, node_mask, B) + \
+                _per_window_bce(out.scores, targets, edge_mask, B)
         else:
-            l_f = _per_window_bce(out.scores, targets, edge_mask, pb.window, B)
+            l_f = _per_window_bce(out.scores, targets, edge_mask, B)
         tp, fp, fn = f1_counts(out.scores, targets, pb.is_det, live, tp_classifier)
 
         # windows whose schedule already ended keep their hidden state

@@ -151,12 +151,18 @@ def inherit_training_config(args, snapshot_path: Optional[str] = None):
     snapshot (ref infer_options.py:32-47)."""
     snapshot_path = snapshot_path or args.snapshot
     cfg_path = os.path.join(os.path.dirname(snapshot_path), "config.json")
-    if os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            train_cfg = json.load(f)
-        for k in INHERITED_KEYS:
-            if k in train_cfg:
-                setattr(args, k, train_cfg[k])
+    if not os.path.exists(cfg_path):
+        # silently proceeding would crash much later with an unrelated
+        # AttributeError (the infer parser defines no model-shape flags)
+        raise FileNotFoundError(
+            f"no config.json beside the snapshot ({cfg_path}); inference "
+            "inherits model-shape flags from the training config "
+            "(ref infer_options.py:32-47) - copy it next to the checkpoint")
+    with open(cfg_path) as f:
+        train_cfg = json.load(f)
+    for k in INHERITED_KEYS:
+        if k in train_cfg:
+            setattr(args, k, train_cfg[k])
     args.tp_classifier = not getattr(args, "no_tp_classifier", False)
     return args
 

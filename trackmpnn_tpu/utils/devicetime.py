@@ -35,7 +35,10 @@ def _device_us_per_program(trace_dir: str) -> float:
     them).  Identified via the trace's process/thread metadata - event
     *args* are not stable across profiler versions (the long_name arg this
     used to key on disappeared from module events on 2026-08-17)."""
-    total = collections.Counter()
+    # per-device totals: devices execute a sharded program CONCURRENTLY,
+    # so summing across device pids would overstate s/step by the device
+    # count - the program time is the max over devices
+    per_dev = collections.Counter()
     for f in glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                        recursive=True):
         with gzip.open(f, "rt") as fh:
@@ -51,10 +54,10 @@ def _device_us_per_program(trace_dir: str) -> float:
         for e in events:
             if (e.get("ph") == "X" and "dur" in e
                     and (e.get("pid"), e.get("tid")) in mod_tracks):
-                total[e.get("name", "").split("(")[0]] += e["dur"]
-    if not total:
+                per_dev[e.get("pid")] += e["dur"]
+    if not per_dev:
         raise RuntimeError(f"no device program events found in {trace_dir}")
-    return sum(total.values())
+    return max(per_dev.values())
 
 
 def device_seconds_per_step(step_thunk, n: int = 5) -> float:
