@@ -152,3 +152,45 @@ def test_embed_train_bn_updates_buffers(tmp_path):
     for k in bufs0:
         assert np.all(np.isfinite(np.asarray(et.params[k]))), k
     assert losses[-1] < losses[0]
+
+
+def test_vis_resume_restores_embed_net(tmp_path):
+    """--snapshot resume must restore the embedding net saved next to the
+    tracker checkpoint (it used to silently reset to random init)."""
+    import numpy as np
+
+    root = str(tmp_path / "kitti")
+    write_kitti_tree(root, num_seqs=21, frames=6)
+    add_images(root)
+    out = str(tmp_path / "exp")
+
+    from trackmpnn_tpu.cli import train as cli_train
+
+    cli_train.main([
+        "--dataset", "kitti", "--dataset-root-path", root,
+        "--output-dir", out, "--category", "Car", "--detections", "rrc",
+        "--feats", "2d+vis", "--cur-win-size", "4", "--epochs", "1",
+        "--num-hidden-feats", "16",
+        "--embed-input-h", "32", "--embed-input-w", "64",
+    ])
+    ckpt = os.path.join(out, "track-mpnn_best.npz")
+
+    from trackmpnn_tpu.cli.train import load_vis_net, make_embed_trainer
+    from trackmpnn_tpu.utils.config import build_train_parser
+
+    args = build_train_parser().parse_args([
+        "--dataset", "kitti", "--feats", "2d+vis",
+        "--embed-input-h", "32", "--embed-input-w", "64"])
+    embed = make_embed_trainer(args)
+    fresh = {k: np.asarray(v) for k, v in embed.params.items()}
+    load_vis_net(embed, ckpt)
+    # one trained step must have moved SOME weights away from the fresh init
+    moved = any(not np.allclose(np.asarray(embed.params[k]), fresh[k])
+                for k in fresh)
+    assert moved, "vis-net load left the fresh random init untouched"
+
+    # and a missing vis-net beside the snapshot is an explicit error
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        load_vis_net(embed, str(tmp_path / "exp" / "track-mpnn_0000.npz"))
