@@ -308,7 +308,8 @@ def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, st,
 
 
 def _block_gat_support(gat_params, h_d_b, h_e_b, bb: BlockBatch, em3,
-                       seg, vm, nD, drop_rng, train):
+                       seg, vm, nD, drop_rng, train, fused=False, m3=None,
+                       interp=False):
     """GAT-attention edge_support in dual layout (ref layers.py:7-46).
 
     A detection's incident edge set is the union of its block ROWS (it is
@@ -325,13 +326,22 @@ def _block_gat_support(gat_params, h_d_b, h_e_b, bb: BlockBatch, em3,
     """
     H = h_d_b.shape[-1]
     NEG = jnp.float32(-1e30)
+    if fused:
+        from trackmpnn_tpu.ops.pallas_gat import DEFAULT_G as PG_G
+        from trackmpnn_tpu.ops.pallas_gat import gat_scores
     acc = None
     for hi, hp in enumerate(gat_params):
         h_att = h_d_b @ hp["W_att"]                          # [nD, H]
         ha = h_att[bb.active_idx]                            # [BT, na, H]
         hn = h_att[bb.newdet_idx]                            # [BT, nt, H]
-        a_in = jnp.abs(ha[:, :, None, :] - hn[:, None, :, :])
-        e = jax.nn.leaky_relu((a_in @ hp["a"])[..., 0], mpnn.LEAKY_ALPHA)
+        if fused:
+            # |ha_i - hn_j| never leaves VMEM (ops/pallas_gat.py)
+            e = gat_scores(ha, hn, hp["a"], m3,
+                           float(mpnn.LEAKY_ALPHA), PG_G, interp)
+        else:
+            a_in = jnp.abs(ha[:, :, None, :] - hn[:, None, :, :])
+            e = jax.nn.leaky_relu((a_in @ hp["a"])[..., 0],
+                                  mpnn.LEAKY_ALPHA)
         e_m = jnp.where(em3, e, NEG)
         rmax = jnp.max(e_m, axis=2)                          # [BT, na]
         cmax = jnp.max(e_m, axis=1)                          # [BT, nt]
@@ -560,7 +570,9 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                 # rectangle is safe when the fused round skipped the mask
                 h_e_att = h_e_sl if use_fused else h_e_b
                 es = _block_gat_support(bp["gat"], h_d_b, h_e_att, bb, em3,
-                                        seg, vm, nD, rng_sb, train)
+                                        seg, vm, nD, rng_sb, train,
+                                        fused=use_fused, m3=m3,
+                                        interp=interp if use_fused else False)
             else:
                 if not use_fused:
                     # edge_support partials: +rows to active, -cols to new
