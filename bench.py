@@ -18,7 +18,21 @@ and no CPU<->GPU copies are charged.  All B windows are timed (no
 extrapolation).
 
 If the TPU tunnel is unreachable (probed in a subprocess with a timeout),
-falls back to CPU so the driver always gets a JSON line.
+falls back to CPU so the driver always gets a JSON line.  The JSON is
+self-describing: "backend" says which device actually ran ("tpu" or
+"cpu-fallback"), plus "fused"/"bf16" for the kernel configuration.  The
+probe window is env-tunable (BENCH_PROBE_S, total seconds across retries;
+default 900) because the tunnel has had hour-scale outages — set it to
+36000 to wait out a full outage.  Every probe attempt is logged to stderr.
+
+CPU-fallback note (measured by tools/bench_cpu_fallback.py, recorded in
+docs/RESULTS.md "CPU fallback"): on CPU every path loses to the torch
+baseline because XLA-CPU multiplies the padded na_cap x nt_cap rectangles
+element-by-element while torch does exact-size sparse mms — block-f32 71k
+edges/s (0.62x), block-bf16 62k (0.54x; bf16 is emulated on CPU), packed
+61k (0.53x).  The fallback therefore runs block-f32 (fastest measured) and
+the JSON says so via backend="cpu-fallback"; sub-1x on CPU is expected
+and does not reflect the TPU number.
 """
 
 import json
@@ -35,27 +49,38 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", 16))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 20))
 
 
-def probe_tpu(timeout=150, attempts=3) -> bool:
+def probe_tpu() -> bool:
     """Execute a tiny jit through the tunnel in a subprocess.  The tunnel is
-    occasionally wedged for minutes (see CLAUDE.md), so retry; the probe
+    occasionally wedged for minutes-to-hours (see CLAUDE.md), so retry until
+    the BENCH_PROBE_S budget (total seconds, default 900) is spent; the probe
     enables the persistent compilation cache so repeat probes are fast while
-    still proving the execution path works."""
+    still proving the execution path works.  Every attempt is logged."""
+    budget = float(os.environ.get("BENCH_PROBE_S", 900))
+    per_attempt = min(float(os.environ.get("BENCH_PROBE_ATTEMPT_S", 150)), budget)
     code = (
         "import sys; sys.path.insert(0, %r);"
         "from trackmpnn_tpu.utils.cache import enable_compilation_cache;"
         "enable_compilation_cache();"
         "import jax, jax.numpy as jnp;"
+        "assert jax.default_backend() != 'cpu', jax.default_backend();"
         "f = jax.jit(lambda a: jnp.tanh(a @ a + 0.125).sum());"
         "print(float(f(jnp.ones((128, 128)))))"
     ) % os.path.dirname(os.path.abspath(__file__))
-    for attempt in range(attempts):
+    t_start = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
         p = subprocess.Popen(
             [sys.executable, "-c", code],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             start_new_session=True,
         )
         try:
-            if p.wait(timeout=timeout) == 0:
+            rc = p.wait(timeout=per_attempt)
+            print("bench: TPU probe attempt %d -> rc=%d (%.0fs)"
+                  % (attempt, rc, time.time() - t0), file=sys.stderr)
+            if rc == 0:
                 return True
         except subprocess.TimeoutExpired:
             import signal
@@ -64,8 +89,15 @@ def probe_tpu(timeout=150, attempts=3) -> bool:
                 os.killpg(os.getpgid(p.pid), signal.SIGKILL)
             except OSError:
                 pass
-        time.sleep(30 * (attempt + 1))
-    return False
+            print("bench: TPU probe attempt %d -> timeout after %.0fs"
+                  % (attempt, per_attempt), file=sys.stderr)
+        elapsed = time.time() - t_start
+        if elapsed >= budget:
+            print("bench: TPU probe budget exhausted (%.0fs of BENCH_PROBE_S=%.0fs)"
+                  % (elapsed, budget), file=sys.stderr)
+            return False
+        # wedged clients can take minutes to clear; back off, capped
+        time.sleep(min(30 * attempt, 120, max(budget - elapsed, 1)))
 
 
 def _make_raw(cap=None, t_cap=None):
@@ -100,13 +132,20 @@ def live_edges_per_window(ws) -> int:
 
 
 def bench_ours(schedules, cap, t_cap, on_tpu=True):
-    """The production train step (cli/train.py batched path): block-structured
-    dual-layout scan (train/block.py) with targets + CE + BCE each step,
-    full-window BPTT, and the Adam update - not a model-only forward.
+    """The production train step: on TPU the block-structured dual-layout
+    scan (train/block.py) with bf16 rectangles and the fused Pallas round —
+    the cli/train.py batched defaults — with targets + CE + BCE each step,
+    full-window BPTT, and the Adam update (not a model-only forward).
+
+    On the CPU fallback the same block step runs in f32 without the Pallas
+    round: measured the fastest of our CPU paths (71k edges/s vs 62k bf16 /
+    61k packed, tools/bench_cpu_fallback.py) — bf16 is emulated on CPU and
+    interpret-mode Pallas is slow.  See docs/RESULTS.md "CPU fallback".
 
     Timed from the DEVICE-side profiler trace on TPU: wall-clock through
     the tunnel is untrustworthy (see utils/devicetime.py)."""
     import jax
+    import jax.numpy as jnp
     from trackmpnn_tpu.models import mpnn
     from trackmpnn_tpu.train import optim
     from trackmpnn_tpu.train.block import build_block_batch, make_block_train_step
@@ -117,14 +156,10 @@ def bench_ours(schedules, cap, t_cap, on_tpu=True):
     stats = mpnn.init_batch_stats(cfg)
     tx = optim.make_optimizer(1e-4, 5e-4)
     opt_state = tx.init(params)
-    # bf16 rectangles + matmuls (f32 accumulation) + the fused Pallas round
-    # — the CLI batched defaults on TPU (interpret-mode Pallas off-TPU is
-    # slow, so the CPU smoke path keeps the XLA round, like the CLI)
-    import jax.numpy as jnp
-
-    step = make_block_train_step(cfg, tx, tp_classifier=False,
-                                 compute_dtype=jnp.bfloat16,
-                                 fused=jax.default_backend() == "tpu")
+    step = make_block_train_step(
+        cfg, tx, tp_classifier=False,
+        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        fused=on_tpu, defer_loss=on_tpu)
     bb = build_block_batch(schedules, t_cap)
 
     state = [params, stats, opt_state]
@@ -315,6 +350,10 @@ def main():
         "value": round(ours_eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(ours_eps / base_eps, 2),
+        "backend": "tpu" if use_tpu else "cpu-fallback",
+        "path": "block",
+        "fused": use_tpu,
+        "bf16": use_tpu,
     }))
 
 

@@ -303,3 +303,57 @@ def test_block_bf16_close_to_f32():
         if denom > 1e-12:
             cos = float(np.dot(a, b) / denom)
             assert cos > 0.99, cos
+
+
+@pytest.mark.parametrize("tp_classifier", [True, False])
+@pytest.mark.parametrize("fused", [False, True])
+def test_block_defer_loss_matches_inscan(tp_classifier, fused):
+    """defer_loss=True (loss side vmapped over steps post-scan) must be
+    numerically identical to the in-scan loss path: same loss, aux and
+    grads, for both the XLA and fused-Pallas rounds (interpret off-TPU)."""
+    cfg, params, stats = _model("diff")
+    schedules = build(4)
+    bb = build_block_batch(schedules, TCAP)
+
+    def run(defer):
+        def f(p):
+            return block_window_forward(p, stats, cfg, bb, tp_classifier,
+                                        fused=fused, defer_loss=defer)
+        (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, aux, grads
+
+    l0, a0, g0 = run(False)
+    l1, a1, g1 = run(True)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for k in ("loss_ce", "loss_f"):
+        np.testing.assert_allclose(float(a1[k]), float(a0[k]), rtol=1e-6)
+    for k in ("tp", "fp", "fn"):
+        assert int(a1[k]) == int(a0[k]), k
+    # 3e-7 atol: the deferred path reassociates f32 sums across the step
+    # axis (losses themselves agree at rtol 1e-6 above)
+    _assert_tree_close(g1, g0, rtol=1e-5, atol=3e-7)
+
+
+def test_block_defer_loss_gat_and_ragged():
+    """Deferred loss with GAT heads + ragged (ended-window) batches."""
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=16,
+                           nattheads=2)
+    params = mpnn.init_params(jax.random.key(0), cfg)
+    stats = mpnn.init_batch_stats(cfg)
+    schedules = build(3) + build(1, seed0=50)
+    bb = build_block_batch(schedules, TCAP)
+    rng = jax.random.key(3)
+
+    def run(defer):
+        def f(p):
+            return block_window_forward(p, stats, cfg, bb, True, rng=rng,
+                                        defer_loss=defer)
+        (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, aux, grads
+
+    l0, a0, g0 = run(False)
+    l1, a1, g1 = run(True)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for k in ("tp", "fp", "fn"):
+        assert int(a1[k]) == int(a0[k]), k
+    _assert_tree_close(g1, g0, rtol=1e-5, atol=1e-7)

@@ -277,6 +277,11 @@ def main(argv: Optional[List[str]] = None):
         fused = (getattr(args, "fused", True)
                  and (jax.default_backend() == "tpu"
                       or os.environ.get("TM_FUSED", "") == "1"))
+        # deferred loss (post-scan, vmapped over steps): auto = follow the
+        # fused round, i.e. on for the TPU production path
+        defer_loss = getattr(args, "defer_loss", None)
+        if defer_loss is None:
+            defer_loss = fused or os.environ.get("TM_DEFER_LOSS", "") == "1"
         where = f"{batch_windows} windows/step"
         if data_only_mesh:
             from trackmpnn_tpu.parallel import make_mesh
@@ -290,14 +295,17 @@ def main(argv: Optional[List[str]] = None):
                              jax.devices()[:mesh_axes["data"]])
             step = make_sharded_block_step(mesh, cfg, tx,
                                            args.tp_classifier,
-                                           compute_dtype=dt_lp, fused=fused)
+                                           compute_dtype=dt_lp, fused=fused,
+                                           defer_loss=defer_loss)
             where += f" over mesh {mesh_axes}"
         else:
             step = make_block_train_step(cfg, tx, args.tp_classifier,
-                                         compute_dtype=dt_lp, fused=fused)
+                                         compute_dtype=dt_lp, fused=fused,
+                                         defer_loss=defer_loss)
         block_dims_max = [0, 0, 0]  # growing buckets bound recompiles
         log(f"block-structured batched training: {where}"
-            + (" (bf16)" if dt_lp else "") + (" (fused round)" if fused else ""))
+            + (" (bf16)" if dt_lp else "") + (" (fused round)" if fused else "")
+            + (" (deferred loss)" if defer_loss else ""))
     elif use_packed:
         # packed block-diagonal graphs (row-layout general path, TM_PACKED=1)
         from trackmpnn_tpu.train.packed import make_packed_train_step, pack_schedules

@@ -19,13 +19,19 @@ KITTI_CATS = {"Pedestrian": 0, "Car": 1, "Cyclist": 2}
 
 
 def generate_colors(n: int = 30, seed: int = 0):
-    """Visually distinct colors via HSV spacing (ref visualize_mot.py:24-35)."""
-    brightness = 0.7
-    colors = [
-        tuple(int(255 * v) for v in colorsys.hsv_to_rgb(i / max(n, 1), 1, brightness))
-        for i in range(max(n, 1))
-    ]
-    random.Random(seed).shuffle(colors)
+    """n visually distinct RGB tuples (fills the role of the reference's
+    track-color table, utils/visualize_mot.py:24-35, differently): walk the
+    hue circle by the golden-ratio conjugate from a seeded start, alternating
+    two value levels so neighboring track ids stay distinguishable at any n.
+    """
+    phi_conj = 0.6180339887498949
+    hue = random.Random(seed).random()
+    colors = []
+    for i in range(max(n, 1)):
+        hue = (hue + phi_conj) % 1.0
+        value = 0.75 if i % 2 else 0.95
+        rgb = colorsys.hsv_to_rgb(hue, 0.9, value)
+        colors.append(tuple(int(round(255 * v)) for v in rgb))
     return colors
 
 

@@ -49,7 +49,8 @@ def _rebase(bb: BlockBatch, axis_name: str) -> BlockBatch:
 def make_sharded_block_step(mesh: Mesh, cfg: mpnn.ModelConfig, tx,
                             tp_classifier: bool, compute_dtype=None,
                             fused: bool = False, remat=None,
-                            axis_name: str = "data"):
+                            axis_name: str = "data",
+                            defer_loss: bool = False):
     """jit'd SPMD train step over `mesh` consuming a global BlockBatch.
 
     Windows (B = step_valid.shape[1]) must divide by the 'data' axis size.
@@ -70,7 +71,7 @@ def make_sharded_block_step(mesh: Mesh, cfg: mpnn.ModelConfig, tx,
         total, aux = block_window_forward(
             params, batch_stats, cfg, bb, tp_classifier, train=True,
             remat=remat, compute_dtype=compute_dtype, rng=rng, fused=fused,
-            axis_name=axis_name)
+            axis_name=axis_name, defer_loss=defer_loss)
         # local per-window means -> global sums; the caller divides by B
         sums = jax.lax.psum(
             jnp.stack([total, aux["loss_ce"], aux["loss_f"]]) * b_local,

@@ -387,7 +387,7 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                          bb: BlockBatch, tp_classifier: bool,
                          train: bool = True, remat: bool = False,
                          compute_dtype=None, rng=None, fused: bool = False,
-                         axis_name=None):
+                         axis_name=None, defer_loss: bool = False):
     """Scan the window in dual layout; same contract as packed_window_forward.
 
     remat=True wraps the scan body in jax.checkpoint: the step is bandwidth-
@@ -415,7 +415,16 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     axis (parallel/block_parallel.py).  BatchNorm moments and the
     step-validity gate psum across it so batch statistics and running-stat
     updates match the single-device cross-window semantics exactly; the
-    loss/aux this returns stay LOCAL to the shard (the wrapper reduces)."""
+    loss/aux this returns stay LOCAL to the shard (the wrapper reduces).
+
+    defer_loss=True attacks the dispatch floor (the residual cost of the
+    fused step is ~70 small loss/CE/segment fusions PER SCAN ITERATION,
+    tools/profile_block.py): the scan emits only per-step (h_d_out,
+    raw edge logits) — the stacked logits are small, [T, B*T, na, nt] —
+    and the whole loss side (targets + CE + BCE + F1) runs ONCE post-scan,
+    vmapped over the step axis, so its fusions launch once on T×-bigger
+    arrays instead of T times.  Numerics are identical (the per-step masks
+    are recomputed from the step index, which is all they depend on)."""
     if train and cfg.nattheads > 0 and rng is None:
         raise ValueError("training with GAT heads needs an rng key for "
                          "attention dropout (pass rng=...)")
@@ -427,7 +436,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     # loss path (16.0 vs 14.2 ms/step: 3 extra kernel launches/step exceed
     # the ~3 ms of small fusions they replace; docs/RESULTS.md) - opt-in
     # for future mega-fusion work, never the default.
-    use_fused_loss = use_fused and os.environ.get("TM_FUSED_LOSS", "") == "1"
+    use_fused_loss = (use_fused and not defer_loss
+                      and os.environ.get("TM_FUSED_LOSS", "") == "1")
     if use_fused:
         interp = jax.default_backend() != "tpu"
         from trackmpnn_tpu.ops.pallas_block import DEFAULT_G as PB_G
@@ -476,8 +486,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         h_d0 = jax.lax.pcast(h_d0, (axis_name,), to="varying")
         h_e0 = jax.lax.pcast(h_e0, (axis_name,), to="varying")
 
-    def step(carry, s):
-        h_d, h_e, stats = carry
+    def live_masks(s):
+        """Everything the loss side needs is a function of the step index."""
         sv = bb.step_valid[s]                       # [B]
         any_valid = jnp.any(sv)
         if axis_name is not None:
@@ -486,11 +496,47 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                                      axis_name) > 0
         det_valid = sv[det_window]
         det_live = (bb.det_step <= s) & det_valid
-        det_new = (bb.det_step == s) & det_valid
         blk_valid = sv[blk_window]
         blk_live = (blk_step <= s) & blk_valid & (bb.blk_nt > 0)
-        blk_new = (blk_step == s) & blk_valid
         em3 = blk_live[:, None, None] & row_m[:, :, None] & col_m[:, None, :]
+        return any_valid, det_valid, det_live, blk_valid, blk_live, em3
+
+    def step_losses(logits_d, logits_e, det_live, blk_live, em3):
+        """Targets + CE + BCE + F1 for one step from MASKED logits; shared by
+        the in-scan path and the deferred (vmapped-over-steps) path."""
+        t_d, t_e, l_ce = _block_targets_and_ce(
+            logits_d, logits_e, bb, st, det_live, blk_live, row_m,
+            col_m, em3)
+        scores_d = jnp.where(det_live, jax.nn.sigmoid(logits_d), 0.0)
+        scores_e = jnp.where(em3, jax.nn.sigmoid(logits_e), 0.0)
+        no_mask_d = jnp.zeros_like(det_live)
+        if tp_classifier:
+            l_f = (_per_window_bce_dual(scores_d, t_d, det_live, scores_e,
+                                        t_e, jnp.zeros_like(em3), B)
+                   + _per_window_bce_dual(scores_d, t_d, no_mask_d,
+                                          scores_e, t_e, em3, B))
+            md = det_live
+        else:
+            l_f = _per_window_bce_dual(scores_d, t_d, no_mask_d, scores_e,
+                                       t_e, em3, B)
+            md = no_mask_d
+        pred_d, pred_e = scores_d >= 0.5, scores_e >= 0.5
+        me = em3
+        tp = (jnp.sum(md & pred_d & (t_d == 1))
+              + jnp.sum(me & pred_e & (t_e == 1)))
+        fp = (jnp.sum(md & pred_d & (t_d != 1))
+              + jnp.sum(me & pred_e & (t_e != 1)))
+        fn = (jnp.sum(md & ~pred_d & (t_d == 1))
+              + jnp.sum(me & ~pred_e & (t_e == 1)))
+        return l_ce, l_f, tp, fp, fn
+
+    def step(carry, s):
+        h_d, h_e, stats = carry
+        sv = bb.step_valid[s]                       # [B]
+        any_valid, det_valid, det_live, blk_valid, blk_live, em3 = \
+            live_masks(s)
+        det_new = (bb.det_step == s) & det_valid
+        blk_new = (blk_step == s) & blk_valid
         act_m1 = (blk_live[:, None] & row_m).reshape(-1)
         vm = jnp.concatenate([act_m1,
                               (blk_live[:, None] & col_m).reshape(-1)])
@@ -588,6 +634,22 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
 
         h_d_out = jnp.concatenate(hd_parts, axis=-1)
         h_e_out = jnp.concatenate(he_parts, axis=-1)
+
+        if defer_loss:
+            # emit raw per-step logits; the whole loss side runs post-scan,
+            # vmapped over steps (one launch per fusion instead of T)
+            if use_fused:
+                logits_e_raw = sum(lg_parts) + params["out_edge"]["b"][0]
+            else:
+                logits_e_raw = nn.linear(params["out_edge"], h_e_out)[..., 0]
+            h_d_next = jnp.where(det_valid[:, None], h_d_out, h_d)
+            h_e_next = jnp.where(blk_valid[:, None, None, None], h_e_out,
+                                 h_e.astype(h_e_out.dtype)).astype(h_e.dtype)
+            stats_next = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(any_valid, a, b), stats_new, stats)
+            # hd_parts were already det_live-masked above
+            return (h_d_next, h_e_next, stats_next), (h_d_out, logits_e_raw)
+
         logits_d = nn.linear(params["out_node"], h_d_out)[:, 0]
         logits_d = jnp.where(det_live, logits_d, 0.0)
 
@@ -626,31 +688,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                 logits_e = nn.linear(params["out_edge"], h_e_out)[..., 0]
                 logits_e = jnp.where(em3, logits_e, 0.0)
 
-            t_d, t_e, l_ce = _block_targets_and_ce(
-                logits_d, logits_e, bb, st, det_live, blk_live, row_m,
-                col_m, em3)
-            scores_d = jnp.where(det_live, jax.nn.sigmoid(logits_d), 0.0)
-            scores_e = jnp.where(em3, jax.nn.sigmoid(logits_e), 0.0)
-            no_mask_d = jnp.zeros_like(det_live)
-            if tp_classifier:
-                l_f = (_per_window_bce_dual(scores_d, t_d, det_live, scores_e,
-                                            t_e, jnp.zeros_like(em3), B)
-                       + _per_window_bce_dual(scores_d, t_d, no_mask_d,
-                                              scores_e, t_e, em3, B))
-            else:
-                l_f = _per_window_bce_dual(scores_d, t_d, no_mask_d, scores_e,
-                                           t_e, em3, B)
-            pred_d, pred_e = scores_d >= 0.5, scores_e >= 0.5
-            if tp_classifier:
-                md, me = det_live, em3
-            else:
-                md, me = no_mask_d, em3
-            tp = (jnp.sum(md & pred_d & (t_d == 1))
-                  + jnp.sum(me & pred_e & (t_e == 1)))
-            fp = (jnp.sum(md & pred_d & (t_d != 1))
-                  + jnp.sum(me & pred_e & (t_e != 1)))
-            fn = (jnp.sum(md & ~pred_d & (t_d == 1))
-                  + jnp.sum(me & ~pred_e & (t_e == 1)))
+            l_ce, l_f, tp, fp, fn = step_losses(logits_d, logits_e,
+                                                det_live, blk_live, em3)
 
         h_d_next = jnp.where(det_valid[:, None], h_d_out, h_d)
         h_e_next = jnp.where(blk_valid[:, None, None, None], h_e_out,
@@ -663,8 +702,28 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
             tp, fp, fn)
 
     body = jax.checkpoint(step) if remat else step
-    (h_d_fin, h_e_fin, stats_fin), (l_ce, l_f, tp, fp, fn) = jax.lax.scan(
-        body, (h_d0, h_e0, batch_stats), jnp.arange(T))
+    if defer_loss:
+        (h_d_fin, h_e_fin, stats_fin), (hd_T, le_T) = jax.lax.scan(
+            body, (h_d0, h_e0, batch_stats), jnp.arange(T))
+        # one batched head matmul over all steps, then the loss side vmapped
+        # over the step axis: every fusion launches once on [T, ...] arrays
+        ld_T = nn.linear(params["out_node"], hd_T)[..., 0]     # [T, nD]
+
+        def loss_at(s, logits_d, logits_e):
+            any_valid, _, det_live, _, blk_live, em3 = live_masks(s)
+            logits_d = jnp.where(det_live, logits_d, 0.0)
+            logits_e = jnp.where(em3, logits_e.astype(jnp.float32), 0.0)
+            l_ce, l_f, tp, fp, fn = step_losses(logits_d, logits_e,
+                                                det_live, blk_live, em3)
+            zero = jnp.float32(0.0)
+            return (jnp.where(any_valid, l_ce, zero),
+                    jnp.where(any_valid, l_f, zero), tp, fp, fn)
+
+        l_ce, l_f, tp, fp, fn = jax.vmap(loss_at)(
+            jnp.arange(T), ld_T, le_T)
+    else:
+        (h_d_fin, h_e_fin, stats_fin), (l_ce, l_f, tp, fp, fn) = jax.lax.scan(
+            body, (h_d0, h_e0, batch_stats), jnp.arange(T))
     total = (jnp.sum(l_ce) + jnp.sum(l_f)) / B
     aux = {
         "loss_ce": jnp.sum(l_ce) / B, "loss_f": jnp.sum(l_f) / B,
@@ -676,7 +735,7 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
 
 def make_block_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool,
                           remat=None, compute_dtype=None,
-                          fused: bool = False):
+                          fused: bool = False, defer_loss: bool = False):
     """jit'd full train step over a BlockBatch (drop-in for the packed one).
 
     remat=None resolves per path (measured on v5e, B=8/cap=4096):
@@ -694,7 +753,7 @@ def make_block_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool,
         return block_window_forward(params, batch_stats, cfg, bb,
                                     tp_classifier, remat=remat,
                                     compute_dtype=compute_dtype, rng=rng,
-                                    fused=fused)
+                                    fused=fused, defer_loss=defer_loss)
 
     @jax.jit
     def step(params, batch_stats, opt_state, bb: BlockBatch, rng=None):

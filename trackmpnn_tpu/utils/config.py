@@ -86,6 +86,14 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "per round; ~2x step speedup on v5e, "
                         "docs/RESULTS.md).  Applies on TPU; --no-fused "
                         "keeps the pure-XLA round")
+    p.add_argument("--defer-loss", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="batched (block) training computes the loss side "
+                        "(targets+CE+BCE+F1) once post-scan, vmapped over "
+                        "steps, instead of per scan iteration — collapses "
+                        "the per-step dispatch floor (T x ~70 small fusions "
+                        "-> ~70).  Default: auto (on when the fused round "
+                        "runs on TPU; see docs/RESULTS.md round-3 table)")
     return p
 
 
