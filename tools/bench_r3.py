@@ -89,6 +89,12 @@ def main():
     time_variant("B=16 fused defer=ON", bb16, e16, fused=True, defer=True)
     time_variant("B=16 fused defer=off", bb16, e16, fused=True, defer=False)
 
+    # 2b) edge-head fusion worth: round kernel's logit partials vs XLA head
+    os.environ["TM_HEAD_XLA"] = "1"
+    time_variant("B=8 fused defer=ON head=XLA", bb8, e8, fused=True,
+                 defer=True)
+    os.environ.pop("TM_HEAD_XLA")
+
     # 3) GAT: fused score kernel vs XLA attention (1 and 3 heads)
     for h in (1, 3):
         time_variant(f"B=8 GAT{h} fused(score krnl) defer=ON", bb8, e8,

@@ -115,7 +115,8 @@ def train_at_window(win):
     from trackmpnn_tpu.cli import train as cli_train
 
     root = tempfile.mkdtemp() + "/kitti"
-    write_kitti_tree(root, num_seqs=12, frames=win + 6)
+    # the KITTI split (data/kitti.py) indexes 21 training sequences
+    write_kitti_tree(root, num_seqs=21, frames=win + 6)
     out = tempfile.mkdtemp() + "/exp"
     cli_train.main([
         "--dataset", "kitti", "--dataset-root-path", root,

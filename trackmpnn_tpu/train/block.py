@@ -438,6 +438,10 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     # for future mega-fusion work, never the default.
     use_fused_loss = (use_fused and not defer_loss
                       and os.environ.get("TM_FUSED_LOSS", "") == "1")
+    # TM_HEAD_XLA=1: A/B knob — ignore the round kernel's edge-head logit
+    # partials and recompute the head from h_e_out in XLA (re-reads the
+    # H-wide rectangle; for measuring the head fusion's worth on-chip)
+    head_fused = use_fused and os.environ.get("TM_HEAD_XLA", "") != "1"
     if use_fused:
         interp = jax.default_backend() != "tpu"
         from trackmpnn_tpu.ops.pallas_block import DEFAULT_G as PB_G
@@ -638,7 +642,7 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         if defer_loss:
             # emit raw per-step logits; the whole loss side runs post-scan,
             # vmapped over steps (one launch per fusion instead of T)
-            if use_fused:
+            if head_fused:
                 logits_e_raw = sum(lg_parts) + params["out_edge"]["b"][0]
             else:
                 logits_e_raw = nn.linear(params["out_edge"], h_e_out)[..., 0]
@@ -680,7 +684,7 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                 fp = fp + jnp.sum(det_live & pred_d & (t_d != 1))
                 fn = fn + jnp.sum(det_live & ~pred_d & (t_d == 1))
         else:
-            if use_fused:
+            if head_fused:
                 # head partials came out of the round kernel per branch
                 logits_e = jnp.where(
                     em3, sum(lg_parts) + params["out_edge"]["b"][0], 0.0)
