@@ -332,6 +332,22 @@ def test_block_defer_loss_matches_inscan(tp_classifier, fused):
     # 3e-7 atol: the deferred path reassociates f32 sums across the step
     # axis (losses themselves agree at rtol 1e-6 above)
     _assert_tree_close(g1, g0, rtol=1e-5, atol=3e-7)
+    # hoisted-BN running stats (closed-form EMA fold) == in-scan chain
+    _assert_tree_close(a1["batch_stats"], a0["batch_stats"],
+                       rtol=1e-5, atol=1e-7)
+
+
+def test_block_defer_loss_no_hoist_bn(monkeypatch):
+    """TM_HOIST_BN=0 keeps BN in-scan under defer_loss; same numbers."""
+    monkeypatch.setenv("TM_HOIST_BN", "0")
+    cfg, params, stats = _model("diff")
+    bb = build_block_batch(build(4), TCAP)
+    l0, a0 = block_window_forward(params, stats, cfg, bb, False)
+    l1, a1 = block_window_forward(params, stats, cfg, bb, False,
+                                  defer_loss=True)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    _assert_tree_close(a1["batch_stats"], a0["batch_stats"],
+                       rtol=1e-6, atol=1e-8)
 
 
 def test_block_defer_loss_gat_and_ragged():

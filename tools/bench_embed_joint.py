@@ -28,6 +28,10 @@ from trackmpnn_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 import jax
+
+if os.environ.get("TM_CPU"):  # CPU smoke: correctness, wall-clock timed
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from trackmpnn_tpu.train.embed import EmbedTrainer

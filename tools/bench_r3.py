@@ -19,6 +19,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("TM_CPU"):  # CPU smoke: every variant, wall-clock timed
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from trackmpnn_tpu.utils.cache import enable_compilation_cache
@@ -55,7 +59,16 @@ def time_variant(tag, bb, edges, *, fused, defer, heads=0, dt=jnp.bfloat16,
 
     try:
         jax.block_until_ready(one())
-        sec = device_seconds_per_step(one, n=NSTEPS)
+        if jax.default_backend() == "tpu":
+            sec = device_seconds_per_step(one, n=NSTEPS)
+        else:  # CPU smoke runs (correctness of every variant, not timing)
+            import time
+
+            t0 = time.perf_counter()
+            for _ in range(NSTEPS):
+                loss = one()
+            jax.block_until_ready(loss)
+            sec = (time.perf_counter() - t0) / NSTEPS
     except Exception as e:  # noqa: BLE001
         print(f"{tag}: FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)
         return None

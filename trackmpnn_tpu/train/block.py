@@ -195,6 +195,52 @@ def _bn_with_phantom_rows(params, stats, y1, mask_d, n_phantom, *, train,
     return y * bn["gamma"] + bn["beta"], new_stats, cnt_raw
 
 
+def _hoisted_bn_all_steps(bp_in, bs, y1, ids_c, det_isnew, nph_T, T, train,
+                          axis_name):
+    """Per-intro-step BatchNorm for ALL steps at once.
+
+    _bn_with_phantom_rows pools statistics over the dets INTRODUCED at a
+    step (+ phantom edge rows) — step-local, so the whole thing is a pair
+    of segment reductions keyed on det_step instead of T in-scan launches,
+    and the sequential running-stat EMA folds in closed form:
+        final = (1-m)^K old + m * sum_s q_s (1-m)^{r_s} stat_s
+    (q_s = step had rows, r_s = # such steps after s).  Semantics match the
+    in-scan version exactly up to f32 reassociation.
+
+    Returns (y_normed [nD, H] — each det by its own intro step's stats,
+    garbage-but-finite on padding rows — and the final running stats)."""
+    b1 = bp_in["lin1"]["b"]
+    H = y1.shape[1]
+    psum = ((lambda v: jax.lax.psum(v, axis_name)) if axis_name
+            else (lambda v: v))
+    if train:
+        cnt_det = segment_sum(jnp.ones((y1.shape[0], 1), y1.dtype), ids_c, T,
+                              mask=det_isnew)[:, 0]
+        cnt_raw = psum(cnt_det) + nph_T                           # [T]
+        cnt = jnp.maximum(cnt_raw, 1.0)[:, None]
+        sum_T = psum(segment_sum(y1, ids_c, T, mask=det_isnew))   # [T, H]
+        mean_T = (sum_T + nph_T[:, None] * b1) / cnt
+        d2 = (y1 - mean_T[ids_c]) ** 2
+        var_T = (psum(segment_sum(d2, ids_c, T, mask=det_isnew))
+                 + nph_T[:, None] * (b1 - mean_T) ** 2) / cnt
+        y = (y1 - mean_T[ids_c]) * jax.lax.rsqrt(var_T[ids_c] + nn.BN_EPS)
+        var_u = var_T * cnt / jnp.maximum(cnt - 1.0, 1.0)
+        m = nn.BN_MOMENTUM
+        q = (cnt_raw > 0).astype(y1.dtype)                        # [T]
+        r = jnp.cumsum(q[::-1])[::-1] - q                         # suffix count
+        k = jnp.sum(q)
+        w = (m * q * (1 - m) ** r)[:, None]                       # [T, 1]
+        new_stats = {
+            "mean": (1 - m) ** k * bs["mean"] + jnp.sum(w * mean_T, 0),
+            "var": (1 - m) ** k * bs["var"] + jnp.sum(w * var_u, 0),
+        }
+    else:
+        y = (y1 - bs["mean"]) * jax.lax.rsqrt(bs["var"] + nn.BN_EPS)
+        new_stats = bs
+    bn = bp_in["bn"]
+    return y * bn["gamma"] + bn["beta"], new_stats
+
+
 class StaticTargets(NamedTuple):
     """Per-batch target structure: constant across scan steps.
 
@@ -481,6 +527,26 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         y1s.append(nn.linear(params["branches"][bi]["input"]["lin1"], x))
         widths.append(width)
 
+    # dispatch-floor companion to defer_loss: hoist the per-intro-step BN +
+    # lin2 out of the scan (T in-scan launches + T redundant [nD, H] matmuls
+    # -> one segment-reduction pass; TM_HOIST_BN=0 opts out for A/B)
+    hoist_bn = defer_loss and os.environ.get("TM_HOIST_BN", "1") == "1"
+    if hoist_bn:
+        ids_c = jnp.minimum(bb.det_step, T - 1)
+        det_isnew = (bb.det_step < T) & bb.step_valid[ids_c, det_window]
+        blk_isnew = bb.step_valid[blk_step, blk_window]
+        nph_T = segment_sum((bb.blk_na * bb.blk_nt).astype(jnp.float32),
+                            blk_step, T, mask=blk_isnew)
+        xts_h, stats_fin_h = [], []
+        for bi in range(nb):
+            bp = params["branches"][bi]
+            yb, new_bs = _hoisted_bn_all_steps(
+                bp["input"], batch_stats["branches"][bi]["bn"], y1s[bi],
+                ids_c, det_isnew, nph_T, T, train, axis_name)
+            xts_h.append(nn.linear(bp["input"]["lin2"], jax.nn.relu(yb)))
+            stats_fin_h.append({"bn": new_bs})
+        stats_fin_h = {"branches": stats_fin_h}
+
     h_d0 = jnp.zeros((nD, nb * H), jnp.float32)
     h_e0 = jnp.zeros((B * T, na_cap, nt_cap, nb * H),
                      compute_dtype or jnp.float32)
@@ -553,13 +619,19 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         for bi in range(nb):
             bp = params["branches"][bi]
             bs = stats["branches"][bi]["bn"]
-            xt, bn_stats, cnt_raw = _bn_with_phantom_rows(
-                bp["input"], bs, y1s[bi], det_new, n_phantom, train=train,
-                axis_name=axis_name)
-            xt = nn.linear(bp["input"]["lin2"], jax.nn.relu(xt))
-            bn_stats = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(cnt_raw > 0, a, b), bn_stats, bs)
-            stats_new.append({"bn": bn_stats})
+            if hoist_bn:
+                # BN + lin2 precomputed for every step outside the scan;
+                # running stats resolved there too (closed-form EMA fold)
+                xt = xts_h[bi]
+                stats_new.append({"bn": bs})
+            else:
+                xt, bn_stats, cnt_raw = _bn_with_phantom_rows(
+                    bp["input"], bs, y1s[bi], det_new, n_phantom, train=train,
+                    axis_name=axis_name)
+                xt = nn.linear(bp["input"]["lin2"], jax.nn.relu(xt))
+                bn_stats = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(cnt_raw > 0, a, b), bn_stats, bs)
+                stats_new.append({"bn": bn_stats})
 
             h_d_b = h_d[:, bi * H : (bi + 1) * H]
             h_d_b = jnp.where(det_new[:, None], xt,
@@ -732,7 +804,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     aux = {
         "loss_ce": jnp.sum(l_ce) / B, "loss_f": jnp.sum(l_f) / B,
         "tp": jnp.sum(tp), "fp": jnp.sum(fp), "fn": jnp.sum(fn),
-        "batch_stats": stats_fin, "hidden": (h_d_fin, h_e_fin),
+        "batch_stats": stats_fin_h if hoist_bn else stats_fin,
+        "hidden": (h_d_fin, h_e_fin),
     }
     return total, aux
 
