@@ -306,12 +306,13 @@ def test_block_bf16_close_to_f32():
 
 
 @pytest.mark.parametrize("tp_classifier", [True, False])
-@pytest.mark.parametrize("fused", [False, True])
-def test_block_defer_loss_matches_inscan(tp_classifier, fused):
+@pytest.mark.parametrize("fused,msg_type", [(False, "diff"), (True, "diff"),
+                                            (True, "concat")])
+def test_block_defer_loss_matches_inscan(tp_classifier, fused, msg_type):
     """defer_loss=True (loss side vmapped over steps post-scan) must be
     numerically identical to the in-scan loss path: same loss, aux and
     grads, for both the XLA and fused-Pallas rounds (interpret off-TPU)."""
-    cfg, params, stats = _model("diff")
+    cfg, params, stats = _model(msg_type)
     schedules = build(4)
     bb = build_block_batch(schedules, TCAP)
 

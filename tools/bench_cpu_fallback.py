@@ -27,8 +27,6 @@ def time_path(name, step, bb, repeats):
     cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=64)
     params = mpnn.init_params(jax.random.key(0), cfg)
     stats = mpnn.init_batch_stats(cfg)
-    tx = optim.make_optimizer(1e-4, 5e-4)
-    del cfg, tx
     state = [params, stats, step["opt_state"]]
 
     def one():

@@ -613,7 +613,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         m3 = em3.astype(jnp.float32) if use_fused else None
         rng_s = jax.random.fold_in(rng, s) if rng is not None else None
 
-        n_phantom = jnp.sum(jnp.where(blk_new, bb.blk_na * bb.blk_nt, 0))
+        n_phantom = (None if hoist_bn else
+                     jnp.sum(jnp.where(blk_new, bb.blk_na * bb.blk_nt, 0)))
 
         hd_parts, he_parts, lg_parts, stats_new = [], [], [], []
         for bi in range(nb):
