@@ -328,13 +328,15 @@ def bench_torch(schedules, cap, t_cap, max_windows=None):
 def main():
     from trackmpnn_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
     use_tpu = probe_tpu()
     if not use_tpu:
         import jax
 
+        # fall back BEFORE enabling the cache: loading cross-machine
+        # XLA:CPU AOT entries can segfault (utils/cache.py docstring)
         jax.config.update("jax_platforms", "cpu")
         print("WARN: TPU unreachable; benchmarking on CPU fallback", file=sys.stderr)
+    enable_compilation_cache()
 
     schedules, cap, t_cap = build_workload()
     total_edges = sum(live_edges_per_window(w) for w in schedules)

@@ -188,3 +188,53 @@ def test_sharded_block_step_rejects_indivisible_batch():
     step = make_sharded_block_step(mesh, cfg, tx, True)
     with pytest.raises(ValueError):
         step(params, stats, tx.init(params), bb)
+
+
+def test_sharded_block_step_defer_loss_matches_single_device():
+    """The sharded fast path with the dispatch-floor config (defer_loss +
+    hoisted BN) == single-device: loss, sync-BN running stats (incl. the
+    psum'd phantom-row counts in the hoisted closed-form EMA), gradients."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from trackmpnn_tpu.parallel.block_parallel import (
+        BLOCK_SPECS, _rebase, make_sharded_block_step)
+    from trackmpnn_tpu.train.block import (block_window_forward,
+                                           build_block_batch,
+                                           make_block_train_step)
+
+    cfg, params, stats, tx = setup(3)
+    schedules = build_batch(8)
+    bb = build_block_batch(schedules, TCAP)
+    mesh = make_mesh({"data": 4}, jax.devices()[:4])
+
+    def g_single(p):
+        return block_window_forward(p, stats, cfg, bb, True,
+                                    defer_loss=True)[0]
+
+    def body(p, s, bbg):
+        bbl = _rebase(bbg, "data")
+        total, _ = block_window_forward(p, s, cfg, bbl, True,
+                                        axis_name="data", defer_loss=True)
+        return jax.lax.psum(total * bbl.step_valid.shape[1], "data") / 8.0
+
+    sharded = shard_map(body, mesh=mesh,
+                        in_specs=(P(), P(), BLOCK_SPECS), out_specs=P())
+    g1 = jax.grad(g_single)(params)
+    gn = jax.grad(lambda p: sharded(p, stats, bb))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(gn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
+
+    step1 = make_block_train_step(cfg, tx, True, defer_loss=True)
+    p1, s1, o1, loss1, aux1 = step1(params, stats, tx.init(params), bb)
+    stepn = make_sharded_block_step(mesh, cfg, tx, True, defer_loss=True)
+    pn, sn, on, lossn, auxn = stepn(params, stats, tx.init(params), bb)
+    np.testing.assert_allclose(float(lossn), float(loss1), rtol=1e-5)
+    for k in ("tp", "fp", "fn"):
+        assert int(auxn[k]) == int(aux1[k]), k
+    for a, b in zip(jax.tree_util.tree_leaves(sn),
+                    jax.tree_util.tree_leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -23,14 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from trackmpnn_tpu.utils.cache import enable_compilation_cache
-
-enable_compilation_cache()
-
 import jax
 
 if os.environ.get("TM_CPU"):  # CPU smoke: correctness, wall-clock timed
     jax.config.update("jax_platforms", "cpu")
+
+from trackmpnn_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()  # no-op on cpu (utils/cache.py)
 
 import jax.numpy as jnp
 

@@ -87,7 +87,8 @@ def time_block_step(scheds, on_tpu):
     opt_state = tx.init(params)
     step = make_block_train_step(
         cfg, tx, tp_classifier=False,
-        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32, fused=on_tpu)
+        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32, fused=on_tpu,
+        defer_loss=on_tpu)
     t_cap = max(w.n_steps for w in scheds)
     bb = build_block_batch(scheds, t_cap)
     state = [params, stats, opt_state]

@@ -214,6 +214,7 @@ def _hoisted_bn_all_steps(bp_in, bs, y1, ids_c, det_isnew, nph_T, T, train,
     psum = ((lambda v: jax.lax.psum(v, axis_name)) if axis_name
             else (lambda v: v))
     if train:
+        nph_T = psum(nph_T)  # phantom rows pool across shards like dets
         cnt_det = segment_sum(jnp.ones((y1.shape[0], 1), y1.dtype), ids_c, T,
                               mask=det_isnew)[:, 0]
         cnt_raw = psum(cnt_det) + nph_T                           # [T]
