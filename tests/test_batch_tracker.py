@@ -41,6 +41,38 @@ def test_batched_matches_single(model, hungarian):
         np.testing.assert_array_equal(a, b, err_msg=f"sequence {k}")
 
 
+def test_pipelined_matches_lockstep(model):
+    """Cohort double-buffering (pipeline=True) must produce byte-identical
+    tracks to the lockstep loop, and fire on_step the same number of times
+    per sequence with the same score payloads (only cross-sequence
+    interleaving may differ)."""
+    cfg, params, stats = model
+    tcfg = TrackerConfig(cur_win_size=4, ret_win_size=1, hungarian=True,
+                         bucket=128, prune_threshold=0.2)
+    seqs = []
+    for seed, frames in [(51, 9), (52, 6), (53, 11), (54, 7), (55, 5)]:
+        feats, bp, _ = make_sequence(num_tracks=4, num_frames=frames,
+                                     seed=seed, miss_rate=0.1, fp_rate=0.15)
+        seqs.append((feats, bp[:, :2].astype(np.int64)))
+
+    tracker = BatchedTracker(params, stats, cfg, tcfg)
+    calls_lock, calls_pipe = {}, {}
+
+    def rec(store):
+        return lambda i, g, sc: store.setdefault(i, []).append(sc.copy())
+
+    want = tracker.run(seqs, on_step=rec(calls_lock), pipeline=False)
+    got = tracker.run(seqs, on_step=rec(calls_pipe), pipeline=True)
+
+    for k, (a, b) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(a, b, err_msg=f"sequence {k}")
+    assert set(calls_lock) == set(calls_pipe)
+    for i in calls_lock:
+        assert len(calls_lock[i]) == len(calls_pipe[i])
+        for a, b in zip(calls_lock[i], calls_pipe[i]):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
 def test_batched_matches_single_with_pruning(model):
     """prune_threshold must apply identically in both trackers (it was
     silently ignored by BatchedTracker)."""

@@ -9,6 +9,11 @@ K times fewer dispatches and far better chip utilization from batched
 matmuls.  Per-sequence results are identical to the single-sequence
 Tracker (asserted in tests): the state machine below is the same
 init -> [update -> forward -> decode] loop with graph-empty re-init.
+
+On top of the batching, `run(pipeline=True)` double-buffers two cohorts
+so the host-side planning/decode of one cohort overlaps the device
+forward of the other (JAX dispatch is async; only np.asarray blocks) —
+the serving loop is otherwise strictly host-then-device serial.
 """
 
 from __future__ import annotations
@@ -148,30 +153,63 @@ class BatchedTracker:
         self.model_cfg = model_cfg
         self.cfg = cfg
 
-    def run(self, sequences: List, on_step=None) -> List[np.ndarray]:
+    def run(self, sequences: List, on_step=None,
+            pipeline: bool = True) -> List[np.ndarray]:
         """sequences: list of (X [N,F], y_seq [N,2]).  Returns y_out list.
-        on_step(seq_index, graph, scores2) fires after every forward."""
+        on_step(seq_index, graph, scores2) fires after every forward.
+
+        pipeline=True (default, needs >=2 sequences) splits the batch into
+        two cohorts and double-buffers them: JAX dispatch is asynchronous,
+        so while the device runs cohort A's forward the host decodes,
+        prunes and re-plans cohort B (the C++ planner + Hungarian work that
+        otherwise serializes with the chip).  Per-sequence results are
+        identical to lockstep — sequences never interact — only the
+        cross-sequence interleaving of on_step callbacks changes."""
         mc = self.model_cfg
         nbh = len(mc.branches) * mc.nhidden
         states = [_SeqState(X, y, self.cfg, nbh) for X, y in sequences]
         nfeats = mc.nfeatures
+        seq_idx = {id(s): i for i, s in enumerate(states)}
 
-        while True:
-            active = [s for s in states if s.prepare()]
+        def launch(cohort):
+            """Host-plan the cohort and dispatch ONE async device forward."""
+            active = [s for s in cohort if s.prepare()]
             if not active:
-                break
+                return None
             cap = _bucketed(max(s.g.n for s in active), self.cfg.bucket)
             views = [s.view(cap, nfeats) for s in active]
             stack = lambda i: jnp.asarray(np.stack([v[i] for v in views]))
             g = GraphView(is_det=stack(0), past=stack(1), fut=stack(2),
                           live=stack(3), new=stack(4), feat=stack(5))
-            h = stack(6)
-            scores, hidden = _batched_forward(self.params, self.batch_stats, mc, g, h)
+            scores, hidden = _batched_forward(self.params, self.batch_stats,
+                                              mc, g, stack(6))
+            return active, scores, hidden
+
+        def consume(inflight):
+            """Block on the cohort's device results and decode them."""
+            active, scores, hidden = inflight
             scores = np.asarray(scores)
             hidden = np.asarray(hidden)
             for k, s in enumerate(active):
-                cb = (lambda g, sc, _i=states.index(s): on_step(_i, g, sc)) \
+                cb = (lambda g, sc, _i=seq_idx[id(s)]: on_step(_i, g, sc)) \
                     if on_step is not None else None
                 s.consume(scores[k], hidden[k], on_step=cb)
+
+        if pipeline and len(states) >= 2:
+            mid = (len(states) + 1) // 2
+            cohorts = (states[:mid], states[mid:])
+            inflight = [launch(cohorts[0]), launch(cohorts[1])]
+            turn = 0
+            while inflight[0] is not None or inflight[1] is not None:
+                if inflight[turn] is not None:
+                    consume(inflight[turn])
+                    inflight[turn] = launch(cohorts[turn])
+                turn ^= 1
+        else:
+            while True:
+                fl = launch(states)
+                if fl is None:
+                    break
+                consume(fl)
 
         return [s.y_out for s in states]
