@@ -194,3 +194,32 @@ def test_vis_resume_restores_embed_net(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         load_vis_net(embed, str(tmp_path / "exp" / "track-mpnn_0000.npz"))
+
+
+def test_embed_frame_chunk_parity(tmp_path):
+    """frame_chunk runs the backbone through a checkpointed lax.map over
+    frame chunks (HBM-bounding the DCN backward on TPU); the step's loss
+    and parameter updates must match the unchunked batch exactly."""
+    import cv2
+
+    from trackmpnn_tpu.train.embed import EmbedTrainer
+
+    vis_meta, tids = _tiny_chunk(tmp_path, cv2, frames=5)
+    kw = dict(arch="dla34", num_vis_feats=16, input_hw=(32, 64), max_dets=32,
+              seed=7)
+    et_full = EmbedTrainer(**kw)
+    et_chunk = EmbedTrainer(**kw, frame_chunk=2)  # 5 frames -> 3 chunks + pad
+    losses = []
+    for et in (et_full, et_chunk):
+        feats, loss = et.train_chunk(vis_meta, tids)
+        losses.append(loss)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    for k in et_full.params:
+        np.testing.assert_allclose(np.asarray(et_full.params[k]),
+                                   np.asarray(et_chunk.params[k]),
+                                   rtol=2e-4, atol=2e-6, err_msg=k)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        EmbedTrainer(arch="dla34", train_bn=True, frame_chunk=2)

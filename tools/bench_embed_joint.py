@@ -98,9 +98,15 @@ def main():
     rows["dla34-shift(R=2)"] = bench_embed_step("dla34", dcn_max_offset=2.0)
     print(f"dla34 shift-warp embed step: {rows['dla34-shift(R=2)']*1e3:.1f} ms",
           flush=True)
-    rows["dla34-gather"] = bench_embed_step("dla34", dcn_max_offset=None)
-    print(f"dla34 exact-gather embed step: {rows['dla34-gather']*1e3:.1f} ms",
-          flush=True)
+    # The exact-gather DCN cannot run the joint step unchunked at these
+    # shapes: its backward holds ~20 [T,Hm,Wm,9,C] gather temps = 65 GB HBM
+    # on a 16 GB chip (measured 2026-08-18).  frame_chunk=N bounds the live
+    # temps to one N-frame chunk via a checkpointed lax.map (train/embed.py).
+    gc = int(os.environ.get("EJ_GATHER_CHUNK", "1"))
+    rows["dla34-gather"] = bench_embed_step("dla34", dcn_max_offset=None,
+                                            frame_chunk=gc)
+    print(f"dla34 exact-gather embed step (frame_chunk={gc}): "
+          f"{rows['dla34-gather']*1e3:.1f} ms", flush=True)
     rows["tracker(B=1)"] = bench_tracker_step()
     print(f"tracker block step (B=1 window): {rows['tracker(B=1)']*1e3:.1f} ms",
           flush=True)

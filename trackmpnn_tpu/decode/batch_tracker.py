@@ -14,6 +14,15 @@ On top of the batching, `run(pipeline=True)` double-buffers two cohorts
 so the host-side planning/decode of one cohort overlaps the device
 forward of the other (JAX dispatch is async; only np.asarray blocks) —
 the serving loop is otherwise strictly host-then-device serial.
+
+The hidden state is DEVICE-RESIDENT across steps: the host never reads
+its values — it only drops/permutes rows (prune + decode keeps, new-row
+appends), and `engine.decode_tracks`/`engine.prune` already return that
+plan as kept-row index vectors.  Each step uploads the [K, cap] gather
+plan and downloads only the [K, cap] scores; the [K, cap, nb*H] hidden
+tensor never crosses the (slow, single-chip-tunnel) host link.  Measured
+round 3: shipping hidden both ways was ~6 MB/step at K=16 and dominated
+serving wall clock (18.9 frames/s); see docs/RESULTS.md.
 """
 
 from __future__ import annotations
@@ -32,13 +41,40 @@ from trackmpnn_tpu.graph.view import GraphView, pack_slots
 from trackmpnn_tpu.models import mpnn
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _batched_forward(params, batch_stats, cfg, g: GraphView, h):
+def _forward_impl(params, batch_stats, cfg, g: GraphView, h):
     def one(g1, h1):
         out, _ = mpnn.forward(params, batch_stats, cfg, g1, h1, train=False)
         return out.scores, out.hidden
 
     return jax.vmap(one)(g, h)
+
+
+_batched_forward = partial(jax.jit, static_argnames=("cfg",))(_forward_impl)
+
+
+def _gather_hidden(src, lanes, rows):
+    """Device-side hidden re-layout between steps.
+
+    src   f32[Ks, cap_old, H] — the previous forward's hidden output
+    lanes i32[K]              — each sequence's lane in src
+    rows  i32[K, cap_new]     — old row per new row, -1 = fresh (zero) row
+
+    Composes the host's keep/permutation plan without the hidden values
+    ever leaving the device.
+    """
+    safe = jnp.clip(rows, 0, src.shape[1] - 1)
+    h = src[lanes[:, None], safe]
+    return jnp.where((rows >= 0)[..., None], h, 0.0)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _batched_forward_gather(params, batch_stats, cfg, g: GraphView, src,
+                            lanes, rows):
+    """Gather-then-forward in ONE program: through the single-chip tunnel
+    every dispatch pays a round-trip, so the between-steps hidden re-layout
+    rides the forward's launch instead of its own."""
+    return _forward_impl(params, batch_stats, cfg, g,
+                         _gather_hidden(src, lanes, rows))
 
 
 class _SeqState:
@@ -51,7 +87,11 @@ class _SeqState:
         self.nbh = nb_hidden
         self.y_out = self.y.copy()
         self.y_out[:, 1] = -1
-        self.hidden = np.zeros((0, nb_hidden), np.float32)
+        # device-resident hidden: (src array, lane) + kept-row plan; the host
+        # never holds hidden VALUES, only the row indices into hid_src
+        self.hid_src = None          # jax f32[Ks, cap_old, H] or None
+        self.hid_lane = 0
+        self.hid_rows: Optional[np.ndarray] = None  # int32[g.n - n_new]
         self.scores2 = np.zeros((0, 2), np.float32)
         self.g: Optional[engine.RollingGraph] = None
         self.phase = "init"       # init | loop | done
@@ -77,7 +117,7 @@ class _SeqState:
             self.t_cur = self.t_skip
             self.t_end = self.g.t_end
             self.n_new = self.g.n
-            self.hidden = None
+            self.hid_src, self.hid_rows = None, None
             self.phase = "after_init"
             return True
         # loop body: find the next timestep needing work
@@ -94,7 +134,7 @@ class _SeqState:
             self.g = g
             self.t_skip = g.t_next
             self.n_new = g.n
-            self.hidden = None
+            self.hid_src, self.hid_rows = None, None
         else:
             self.n_new = engine.update(self.g, self.y, self.t_cur, self.scores2,
                                        mode="test", use_hungarian=c.hungarian)
@@ -102,15 +142,17 @@ class _SeqState:
         return True
 
     # ------------------------------------------------------------ consume --
-    def consume(self, probs: np.ndarray, hidden: np.ndarray, on_step=None):
+    def consume(self, probs: np.ndarray, hid_src, lane: int, on_step=None):
         c = self.cfg
         n = self.g.n
         probs = probs[:n]
-        self.hidden = hidden[:n]
+        self.hid_src, self.hid_lane = hid_src, lane
+        rows = np.arange(n, dtype=np.int32)
         self.scores2 = scores2_from_probs(self.g, probs, c.tp_classifier)
         if on_step is not None:
             on_step(self.g, self.scores2)
         if self.phase == "after_init":
+            self.hid_rows = rows
             self.phase = "loop"
             return
         if c.prune_threshold is not None and self.g.n > 0:
@@ -119,13 +161,13 @@ class _SeqState:
                 int(self.g.ts[self.g.ts != -1].min())
                 if np.any(self.g.ts != -1) else 0,
                 self.t_cur, c.prune_threshold)
-            self.hidden = self.hidden[keep]
+            rows = rows[keep]
             self.scores2 = self.scores2[keep]
         t_upto = self.t_end if self.t_cur == self.t_end - 1 else \
             self.t_cur - c.cur_win_size + 2
         keep = engine.decode_tracks(self.g, self.scores2, self.y_out, t_upto,
                                     c.ret_win_size, use_hungarian=c.hungarian)
-        self.hidden = self.hidden[keep]
+        self.hid_rows = rows[keep]
         self.scores2 = self.scores2[keep]
         self.t_cur += 1
         self.phase = "loop"
@@ -137,10 +179,11 @@ class _SeqState:
         idx = np.arange(cap, dtype=np.int32)
         live = idx < g.n
         new = (idx >= g.n - self.n_new) & live
-        h = np.zeros((cap, self.nbh), np.float32)
-        if self.hidden is not None and self.hidden.shape[0]:
-            h[: self.hidden.shape[0]] = self.hidden[:cap]
-        return is_det, past, fut, live, new, feat, h
+        rows = np.full(cap, -1, np.int32)  # device gather plan; -1 = zero row
+        if self.hid_rows is not None and self.hid_rows.shape[0]:
+            m = min(self.hid_rows.shape[0], cap)
+            rows[:m] = self.hid_rows[:m]
+        return is_det, past, fut, live, new, feat, rows
 
 
 class BatchedTracker:
@@ -181,19 +224,32 @@ class BatchedTracker:
             stack = lambda i: jnp.asarray(np.stack([v[i] for v in views]))
             g = GraphView(is_det=stack(0), past=stack(1), fut=stack(2),
                           live=stack(3), new=stack(4), feat=stack(5))
-            scores, hidden = _batched_forward(self.params, self.batch_stats,
-                                              mc, g, stack(6))
+            # hidden stays on device: compose the keep/permutation plan as a
+            # gather fused into the forward program (one dispatch per step)
+            srcs = {id(s.hid_src): s.hid_src for s in active
+                    if s.hid_src is not None}
+            if not srcs:
+                h = jnp.zeros((len(active), cap, nbh), jnp.float32)
+                scores, hidden = _batched_forward(
+                    self.params, self.batch_stats, mc, g, h)
+            else:
+                assert len(srcs) == 1, \
+                    "cohort members must share one hidden source array"
+                (src,) = srcs.values()
+                lanes = np.array([s.hid_lane for s in active], np.int32)
+                scores, hidden = _batched_forward_gather(
+                    self.params, self.batch_stats, mc, g, src,
+                    jnp.asarray(lanes), stack(6))
             return active, scores, hidden
 
         def consume(inflight):
-            """Block on the cohort's device results and decode them."""
+            """Block on the cohort's scores and decode; hidden stays device-side."""
             active, scores, hidden = inflight
             scores = np.asarray(scores)
-            hidden = np.asarray(hidden)
             for k, s in enumerate(active):
                 cb = (lambda g, sc, _i=seq_idx[id(s)]: on_step(_i, g, sc)) \
                     if on_step is not None else None
-                s.consume(scores[k], hidden[k], on_step=cb)
+                s.consume(scores[k], hidden, k, on_step=cb)
 
         if pipeline and len(states) >= 2:
             mid = (len(states) + 1) // 2

@@ -55,10 +55,27 @@ def _bucketed(n: int, bucket: int) -> int:
     return cap
 
 
-@partial(jax.jit, static_argnames=("cfg", "train"))
-def _forward_step(params, batch_stats, cfg, g: GraphView, h_prev, train=False):
+def _step_impl(params, batch_stats, cfg, g: GraphView, h_prev, train):
     out, stats = mpnn.forward(params, batch_stats, cfg, g, h_prev, train=train)
     return out.scores, out.logits, out.hidden, out.attention
+
+
+@partial(jax.jit, static_argnames=("cfg", "train"))
+def _forward_step(params, batch_stats, cfg, g: GraphView, h_prev, train=False):
+    return _step_impl(params, batch_stats, cfg, g, h_prev, train)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _forward_step_gather(params, batch_stats, cfg, g: GraphView, src, rows):
+    """Re-layout the device-resident hidden and run the forward in ONE
+    program: new row i takes src[rows[i]], rows[i] == -1 means a fresh
+    (zero) row.  The keep plans from engine.prune/decode_tracks compose on
+    host as index vectors; only this tiny int32[cap] plan crosses the host
+    link, never the hidden values — and through the single-chip tunnel the
+    gather rides the forward's dispatch instead of paying its own."""
+    safe = jnp.clip(rows, 0, src.shape[0] - 1)
+    h_prev = jnp.where((rows >= 0)[:, None], src[safe], 0.0)
+    return _step_impl(params, batch_stats, cfg, g, h_prev, False)
 
 
 def scores2_from_probs(g: "engine.RollingGraph", probs: np.ndarray,
@@ -97,19 +114,25 @@ class Tracker:
     def _scores2(self, g: engine.RollingGraph, probs: np.ndarray) -> np.ndarray:
         return scores2_from_probs(g, probs, self.cfg.tp_classifier)
 
-    def _run_forward(self, g, X, n_new, h_prev):
+    def _run_forward(self, g, X, n_new, rows):
+        """rows: int32[g.n - n_new] gather plan into the previous forward's
+        hidden output (device-resident, self._hid_src), or None for a fresh
+        zero state.  Returns host (probs, logits); the new hidden stays on
+        device as self._hid_src."""
         cap = _bucketed(g.n, self.cfg.bucket)
         view = self._view(g, X, n_new, cap)
-        if h_prev is None:
-            h_pad = None
+        if rows is None or getattr(self, "_hid_src", None) is None:
+            scores, logits, hidden, attention = _forward_step(
+                self.params, self.batch_stats, self.model_cfg, view, None,
+                False)  # mpnn.forward starts from zeros
         else:
-            nb = len(self.model_cfg.branches)
-            h_pad = np.zeros((cap, nb * self.model_cfg.nhidden), np.float32)
-            h_pad[: h_prev.shape[0]] = h_prev[:cap]
-            h_pad = jnp.asarray(h_pad)
-        scores, logits, hidden, attention = _forward_step(
-            self.params, self.batch_stats, self.model_cfg, view, h_pad, False
-        )
+            rows_pad = np.full(cap, -1, np.int32)
+            m = min(len(rows), cap)
+            rows_pad[:m] = rows[:m]
+            scores, logits, hidden, attention = _forward_step_gather(
+                self.params, self.batch_stats, self.model_cfg, view,
+                self._hid_src, jnp.asarray(rows_pad))
+        self._hid_src = hidden
         n = g.n
         if attention is not None:
             # per branch, per head: doubled-incidence weights [2*cap]
@@ -120,7 +143,6 @@ class Tracker:
         return (
             np.asarray(scores)[:n],
             np.asarray(logits)[:n],
-            np.asarray(hidden)[:n],
         )
 
     # ---------------------------------------------------------------- run --
@@ -140,7 +162,9 @@ class Tracker:
         g = engine.initialize(y_seq, 0, mode="test")
         if g is None:
             return y_out
-        probs, _, hidden = self._run_forward(g, X, g.n, None)
+        self._hid_src = None
+        probs, _ = self._run_forward(g, X, g.n, None)
+        rows = np.arange(g.n, dtype=np.int32)
         scores2 = self._scores2(g, probs)
         if on_step is not None:
             on_step(g, scores2)
@@ -155,14 +179,16 @@ class Tracker:
                 if g is None:
                     break
                 t_skip = g.t_next  # frames consumed by re-init are skipped above
-                probs, _, hidden = self._run_forward(g, X, g.n, None)
+                self._hid_src = None
+                probs, _ = self._run_forward(g, X, g.n, None)
                 scores2 = self._scores2(g, probs)
             else:
                 n_new = engine.update(
                     g, y_seq, t_cur, scores2, mode="test", use_hungarian=self.cfg.hungarian
                 )
-                probs, _, hidden = self._run_forward(g, X, n_new, hidden)
+                probs, _ = self._run_forward(g, X, n_new, rows)
                 scores2 = self._scores2(g, probs)
+            rows = np.arange(g.n, dtype=np.int32)
 
             if on_step is not None:
                 on_step(g, scores2)
@@ -170,14 +196,14 @@ class Tracker:
                 keep = engine.prune(g, scores2, int(g.ts[g.ts != -1].min()) if
                                     np.any(g.ts != -1) else 0, t_cur,
                                     self.cfg.prune_threshold)
-                hidden = hidden[keep]
+                rows = rows[keep]
                 scores2 = scores2[keep]
             t_upto = t_end if t_cur == t_end - 1 else t_cur - self.cfg.cur_win_size + 2
             keep = engine.decode_tracks(
                 g, scores2, y_out, t_upto, self.cfg.ret_win_size,
                 use_hungarian=self.cfg.hungarian,
             )
-            hidden = hidden[keep]
+            rows = rows[keep]
             scores2 = scores2[keep]
             if progress is not None:
                 progress(t_cur, t_end)

@@ -53,12 +53,23 @@ class EmbedTrainer:
     def __init__(self, arch: str = "espv2", num_vis_feats: int = 128,
                  input_hw: Tuple[int, int] = (384, 1280), seed: int = 5,
                  max_dets: int = 256, train_bn: bool = False,
-                 dcn_max_offset: float = 2.0):
+                 dcn_max_offset: float = 2.0, frame_chunk: int = None):
         self.arch = arch
         self.num_vis_feats = num_vis_feats
         self.input_hw = input_hw
         self.max_dets = max_dets  # fixed gather capacity (bounds recompiles)
         self.train_bn = train_bn
+        # frame_chunk: run the backbone over the chunk's frames `frame_chunk`
+        # at a time via a checkpointed lax.map instead of one [T,...] batch.
+        # The backward then recomputes per frame-chunk, so HBM peak is one
+        # chunk's backbone temps + the assembled feature map — required for
+        # the exact-gather DCN at KITTI shapes, whose unchunked joint
+        # backward needs 65 GB of gather temps on a 16 GB chip (the loss
+        # still couples all detections; numerics are unchanged).
+        if frame_chunk is not None and train_bn:
+            raise ValueError("frame_chunk is incompatible with train_bn "
+                             "(batch statistics would be per-chunk)")
+        self.frame_chunk = frame_chunk
         key = jax.random.key(seed)
         self._drop_key = jax.random.key(seed + 1)
         if arch == "espv2":
@@ -111,6 +122,24 @@ class EmbedTrainer:
         tx = self.tx
         C = self.num_vis_feats
         train_bn = self.train_bn
+        fc = self.frame_chunk
+
+        def backbone(p, images, rng):
+            if fc is None:
+                return apply(p, images, train_bn, rng)       # [T, Hm, Wm, C]
+            T = images.shape[0]
+            nc = -(-T // fc)
+            pad = nc * fc - T
+            xs = jnp.pad(images, ((0, pad),) + ((0, 0),) * 3)
+            xs = xs.reshape(nc, fc, *images.shape[1:])
+
+            def chunk(args):
+                x, i = args
+                r = jax.random.fold_in(rng, i) if rng is not None else None
+                return apply(p, x, train_bn, r)
+
+            fmap = jax.lax.map(jax.checkpoint(chunk), (xs, jnp.arange(nc)))
+            return fmap.reshape(nc * fc, *fmap.shape[2:])[:T]
 
         @jax.jit
         def step(params, opt_state, images, fr_of, cy, cx, track_ids, valid, rng):
@@ -118,7 +147,7 @@ class EmbedTrainer:
                 from trackmpnn_tpu.backbones.layers import collect_bn_updates
 
                 with collect_bn_updates() as bn_new:
-                    fmap = apply(p, images, train_bn, rng)   # [T, Hm, Wm, C]
+                    fmap = backbone(p, images, rng)          # [T, Hm, Wm, C]
                 feats = fmap[fr_of, cy, cx]              # [Nmax, C]
                 loss = fairmot_id_loss(feats, track_ids, valid, C)
                 return loss, (feats, bn_new)

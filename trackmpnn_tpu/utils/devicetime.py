@@ -71,7 +71,12 @@ def device_seconds_per_step(step_thunk, n: int = 5) -> float:
             out = None
             for _ in range(n):
                 out = step_thunk()
-            jax.block_until_ready(out)
+            # device_get, NOT block_until_ready: through the tunnel the
+            # latter can complete on enqueue, closing the trace before the
+            # device ran anything (observed 2026-08-18: embed bench traced
+            # 0.0 ms/step).  A host copy cannot be faked - the bytes only
+            # exist after execution.
+            jax.device_get(out)
         return _device_us_per_program(trace_dir) / n / 1e6
     finally:
         shutil.rmtree(trace_dir, ignore_errors=True)
