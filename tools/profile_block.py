@@ -34,6 +34,7 @@ from trackmpnn_tpu.train.block import build_block_batch, make_block_train_step
 
 FUSED = os.environ.get("FUSED", "1") == "1"
 BF16 = os.environ.get("BF16", "1") == "1"
+DEFER = os.environ.get("DEFER", "1") == "1"
 NSTEPS = int(os.environ.get("NSTEPS", "6"))
 TOPK = int(os.environ.get("TOPK", "40"))
 
@@ -63,7 +64,8 @@ def op_breakdown(trace_dir):
 
 
 def main():
-    print(f"devices: {jax.devices()}  fused={FUSED} bf16={BF16}", flush=True)
+    print(f"devices: {jax.devices()}  fused={FUSED} bf16={BF16} "
+          f"defer={DEFER}", flush=True)
     schedules, cap, t_cap = bench.build_workload()
     bb = build_block_batch(schedules, t_cap)
     cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=64)
@@ -73,7 +75,7 @@ def main():
     opt = tx.init(params)
     step = make_block_train_step(cfg, tx, tp_classifier=False,
                                  compute_dtype=jnp.bfloat16 if BF16 else None,
-                                 fused=FUSED)
+                                 fused=FUSED, defer_loss=DEFER)
     state = [params, stats, opt]
 
     def one():

@@ -53,7 +53,7 @@ class EmbedTrainer:
     def __init__(self, arch: str = "espv2", num_vis_feats: int = 128,
                  input_hw: Tuple[int, int] = (384, 1280), seed: int = 5,
                  max_dets: int = 256, train_bn: bool = False,
-                 dcn_max_offset: float = 2.0, frame_chunk: int = None):
+                 dcn_max_offset: float = None, frame_chunk="auto"):
         self.arch = arch
         self.num_vis_feats = num_vis_feats
         self.input_hw = input_hw
@@ -66,6 +66,15 @@ class EmbedTrainer:
         # the exact-gather DCN at KITTI shapes, whose unchunked joint
         # backward needs 65 GB of gather temps on a 16 GB chip (the loss
         # still couples all detections; numerics are unchanged).
+        if frame_chunk == "auto":
+            # round-3 whole-step measurement (tools/bench_embed_ab.py, v5e,
+            # 384x1280): the dla34 exact-gather joint step does not fit HBM
+            # unchunked (65 GB of backward gather temps) and frame_chunk=1
+            # is its fastest fitting config; small inputs (CPU tests) skip
+            # the chunk scan.  espv2 fits comfortably unchunked.
+            frame_chunk = 1 if (arch == "dla34" and not train_bn
+                                and input_hw[0] * input_hw[1] >= 192 * 640) \
+                else None
         if frame_chunk is not None and train_bn:
             raise ValueError("frame_chunk is incompatible with train_bn "
                              "(batch statistics would be per-chunk)")
@@ -85,13 +94,17 @@ class EmbedTrainer:
 
             self.down_ratio = 4
             heads = {"trk": num_vis_feats}
-            # From-scratch training: the gather-free shifted-warp DCN
-            # (offsets clamped to +-dcn_max_offset, exact within the bound)
-            # replaces the serialized-gather sampling — 1.8x faster
-            # fwd+bwd per layer at the default bound (tools/bench_deform.py,
-            # docs/RESULTS.md).  Pass dcn_max_offset=None to run converted
-            # reference checkpoints bit-exactly (cost grows ~(2R+2)^2: the
-            # bound-free gather path wins again past R~4).
+            # DCN default: the exact (bound-free) gather path, frame-chunked.
+            # The shifted-warp alternative (dcn_max_offset=R clamps offsets
+            # to +-R and rewrites sampling as (2R+2)^2 static shifts) wins
+            # 1.8x PER LAYER at batch 1 (tools/bench_deform.py) but loses at
+            # whole-network scale where its term-by-term image re-streaming
+            # blows the cache: full joint step at KITTI shapes on v5e is
+            # gather+chunk1 2467 ms vs shift R=2 3422 (chunked) / 4856
+            # (unchunked); shift R=1 merely ties gather while clamping
+            # offsets to +-1 px (tools/bench_embed_ab.py, docs/RESULTS.md).
+            # The gather default is also what converted reference
+            # checkpoints require (unbounded offsets).
             self.params = dla.init_dlaseg(key, heads)
             self._apply = lambda p, x, train, rng: dla.apply_dlaseg(
                 p, x, heads, train=train, dcn_max_offset=dcn_max_offset)["trk"]

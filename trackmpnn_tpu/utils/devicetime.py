@@ -27,7 +27,7 @@ import tempfile
 import jax
 
 
-def _device_us_per_program(trace_dir: str) -> float:
+def _device_us_per_program(trace_dir: str, min_events: int = 1) -> float:
     """Total duration of top-level jitted program executions, in us.
 
     Programs are the X-events on the "XLA Modules" thread of a /device:*
@@ -39,6 +39,7 @@ def _device_us_per_program(trace_dir: str) -> float:
     # so summing across device pids would overstate s/step by the device
     # count - the program time is the max over devices
     per_dev = collections.Counter()
+    per_dev_n = collections.Counter()
     for f in glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                        recursive=True):
         with gzip.open(f, "rt") as fh:
@@ -55,8 +56,21 @@ def _device_us_per_program(trace_dir: str) -> float:
             if (e.get("ph") == "X" and "dur" in e
                     and (e.get("pid"), e.get("tid")) in mod_tracks):
                 per_dev[e.get("pid")] += e["dur"]
-    if not per_dev:
+                per_dev_n[e.get("pid")] += 1
+    if not per_dev or max(per_dev.values()) == 0:
+        # Large programs (e.g. whole-backbone embed steps) come back with
+        # the XLA Modules/Ops threads present but EMPTY on this profiler
+        # (observed 2026-08-18: the device "Steps" thread showed 9.5 s of
+        # real execution while Modules totalled 0) - treat as missing.
         raise RuntimeError(f"no device program events found in {trace_dir}")
+    pid = max(per_dev, key=per_dev.get)
+    if per_dev_n[pid] < min_events:
+        # n executed steps must leave >= n module events; fewer means the
+        # profiler dropped the main program's events and whatever remains
+        # is an auxiliary program (would under-report wildly).
+        raise RuntimeError(
+            f"only {per_dev_n[pid]} module events for {min_events} steps "
+            f"in {trace_dir} - profiler dropped the main program")
     return max(per_dev.values())
 
 
@@ -77,6 +91,26 @@ def device_seconds_per_step(step_thunk, n: int = 5) -> float:
             # 0.0 ms/step).  A host copy cannot be faked - the bytes only
             # exist after execution.
             jax.device_get(out)
-        return _device_us_per_program(trace_dir) / n / 1e6
+        try:
+            return _device_us_per_program(trace_dir, min_events=n) / n / 1e6
+        except RuntimeError:
+            pass
     finally:
         shutil.rmtree(trace_dir, ignore_errors=True)
+    # Fallback when the profiler drops module events (large programs):
+    # wall-clock over n CHAINED steps with one final device_get.  The steps
+    # chain through their outputs, so the final host copy forces every step
+    # to have really executed; per-step cost then includes one amortized
+    # round trip (an upper bound on device time, unlike bare
+    # block_until_ready wall timing which can be ~100x UNDER).
+    import sys
+    import time
+
+    print("devicetime: no module events in trace, falling back to "
+          "chained-wall timing", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = step_thunk()
+    jax.device_get(out)
+    return (time.perf_counter() - t0) / n
