@@ -111,3 +111,50 @@ def test_center_feature_extraction():
     feats = extract_center_features(fmap, boxes, (8, 10), (8, 10), 1)
     assert feats.shape == (2, 2)
     np.testing.assert_allclose(feats[0], fmap[:, 2, 2])
+
+
+def test_conv_compute_bf16(rng):
+    """conv_compute(bf16) contracts in bf16 (MXU path) but keeps f32
+    outputs via preferred_element_type; outside the context conv2d is
+    exactly the f32 program.  Mirrors nn.matmul_lp's convention for the
+    tracker (--embed-bf16 wires this through EmbedTrainer)."""
+    x = rng.normal(size=(2, 16, 20, 8)).astype(np.float32)
+    w = (rng.normal(size=(3, 3, 8, 16)) * 0.1).astype(np.float32)
+    ref = L.conv2d(jnp.asarray(x), jnp.asarray(w))
+    assert L.conv_compute_dtype() is None
+    with L.conv_compute(jnp.bfloat16):
+        assert L.conv_compute_dtype() is jnp.bfloat16
+        got = L.conv2d(jnp.asarray(x), jnp.asarray(w))
+    assert L.conv_compute_dtype() is None
+    assert got.dtype == jnp.float32
+    # bf16 mantissa is 8 bits: expect ~1e-2 relative agreement, not equality
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+    assert not np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_embed_trainer_bf16_learns(tmp_path):
+    """EmbedTrainer(conv_dtype='bfloat16') trains: params stay f32, loss
+    decreases, and features land near the f32 run's."""
+    import cv2
+
+    from test_vis_training import _tiny_chunk
+    from trackmpnn_tpu.train.embed import EmbedTrainer
+
+    vis_meta, tids = _tiny_chunk(tmp_path, cv2)
+    kw = dict(arch="espv2", num_vis_feats=16, input_hw=(32, 64), max_dets=32,
+              seed=11)
+    et32 = EmbedTrainer(**kw)
+    et16 = EmbedTrainer(**kw, conv_dtype="bfloat16")
+    assert jnp.dtype(et16.conv_dtype) == jnp.bfloat16
+    assert EmbedTrainer(**kw, conv_dtype="f32").conv_dtype is None
+    losses = []
+    for _ in range(6):
+        f32_feats, _ = et32.train_chunk(vis_meta, tids)
+        bf_feats, loss = et16.train_chunk(vis_meta, tids)
+        losses.append(loss)
+    assert losses[-1] < losses[0]
+    for v in et16.params.values():
+        assert np.asarray(v).dtype == np.float32
+    # same seed, same data: bf16 run tracks the f32 trajectory loosely
+    np.testing.assert_allclose(bf_feats, f32_feats, rtol=0.35, atol=0.35)

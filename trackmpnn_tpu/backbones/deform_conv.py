@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from trackmpnn_tpu.backbones import layers as _L
+
 
 def bilinear_sample(x, ys, xs):
     """x: [H, W, C]; ys/xs: [...] float sample coords.  Zero padding outside.
@@ -97,6 +99,7 @@ def deform_conv2d(x, weight, bias, offset, mask, *, stride=1, padding=1,
         return cols.reshape(Ho, Wo, K * K * Cin)
 
     cols = jax.vmap(per_image)(x, ys, xs, mask)
+    cols, weight = _L._cast_operands(cols, weight)
     out = jnp.einsum("nhwk,ko->nhwo", cols, weight,
                      preferred_element_type=jnp.float32)
     if bias is not None:
@@ -144,7 +147,8 @@ def deform_conv2d_shift(x, weight, bias, offset, mask, *, stride=1, padding=1,
     for k in range(KK):
         sampled = warp(x, dy[..., k], dx[..., k], k // K, k % K)
         sampled = sampled * mask[..., k, None]
-        out = out + jnp.einsum("nhwc,co->nhwo", sampled, w3[k],
+        s_c, w_c = _L._cast_operands(sampled, w3[k])
+        out = out + jnp.einsum("nhwc,co->nhwo", s_c, w_c,
                                preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
@@ -274,7 +278,7 @@ def apply_dcn(params, x, *, stride=1, padding=1, dilation=1, ksize=3,
     gather-free shifted-warp kernel (`deform_conv2d_shift`): 1.8x faster
     fwd+bwd per layer at max_offset=2; use it when training from
     scratch."""
-    om = jax.lax.conv_general_dilated(
+    om = _L.conv_general_lp(
         x, params["offset_weight"],
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],

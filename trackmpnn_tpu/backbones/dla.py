@@ -73,7 +73,7 @@ def depthwise_conv_transpose(x, w, f: int):
     k = 2 * f
     pad = k - 1 - f // 2
     wf = w[::-1, ::-1]
-    return jax.lax.conv_general_dilated(
+    return L.conv_general_lp(
         x, wf,
         window_strides=(1, 1),
         padding=[(pad, pad), (pad, pad)],

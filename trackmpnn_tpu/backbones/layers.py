@@ -15,6 +15,59 @@ import numpy as np
 
 BN_EPS = 1e-5
 
+# Backbone mixed precision: inside a `conv_compute(jnp.bfloat16)` context
+# every conv/matmul contraction in this module (and the DCN sites that
+# consult it) feeds the MXU in bf16 with f32 accumulation — the same
+# matmul_lp convention the tracker uses.  BN/PReLU/losses stay f32 because
+# preferred_element_type keeps conv OUTPUTS f32.  The context only needs to
+# wrap tracing (EmbedTrainer enters it around its jitted calls).
+_CONV_COMPUTE = [None]
+
+
+class conv_compute:
+    """Context manager selecting the conv contraction dtype (None = f32)."""
+
+    def __init__(self, dtype):
+        self.dtype = dtype
+
+    def __enter__(self):
+        _CONV_COMPUTE.append(self.dtype)
+        return self
+
+    def __exit__(self, *exc):
+        _CONV_COMPUTE.pop()
+        return False
+
+
+def conv_compute_dtype():
+    """The active conv contraction dtype (None = f32)."""
+    return _CONV_COMPUTE[-1]
+
+
+def _cast_operands(x, w):
+    dt = _CONV_COMPUTE[-1]
+    if dt is not None:
+        return x.astype(dt), w.astype(dt)
+    return x, w
+
+
+def conv_general_lp(x, w, **kw):
+    """`lax.conv_general_dilated` honoring the conv_compute dtype.
+
+    f32 context: the plain f32 conv, unchanged.  bf16: both operands cast
+    to bf16 and the conv output cast back to f32.  NOT implemented as
+    bf16 operands + `preferred_element_type=f32` (the einsum convention):
+    conv's TRANSPOSE rule feeds the f32 cotangent together with the bf16
+    kernel into a new conv and trips the same-dtype check, so that form is
+    non-differentiable.  The MXU accumulates in f32 internally either way;
+    the bf16-out form costs one output rounding and keeps the backward
+    all-bf16 (cotangents are cast by astype's VJP)."""
+    dt = _CONV_COMPUTE[-1]
+    if dt is None:
+        return jax.lax.conv_general_dilated(x, w, **kw)
+    out = jax.lax.conv_general_dilated(x.astype(dt), w.astype(dt), **kw)
+    return out.astype(jnp.float32)
+
 
 # --------------------------------------------------------------- primitives --
 def conv2d(x, w, stride=1, padding="SAME_TORCH", dilation=1, groups=1, ksize=None):
@@ -24,7 +77,7 @@ def conv2d(x, w, stride=1, padding="SAME_TORCH", dilation=1, groups=1, ksize=Non
     if padding == "SAME_TORCH":
         p = (k - 1) // 2 * dilation
         padding = [(p, p), (p, p)]
-    return jax.lax.conv_general_dilated(
+    return conv_general_lp(
         x, w,
         window_strides=(stride, stride),
         padding=padding,

@@ -67,7 +67,9 @@ def make_embed_trainer(args):
     from trackmpnn_tpu.train.embed import EmbedTrainer
 
     return EmbedTrainer(arch=args.embed_arch, input_hw=default_input_hw(args),
-                        seed=args.seed, train_bn=getattr(args, "train_bn", False))
+                        seed=args.seed, train_bn=getattr(args, "train_bn", False),
+                        conv_dtype="bfloat16" if getattr(args, "embed_bf16",
+                                                         False) else None)
 
 
 def load_vis_net(embed, snapshot_path: str, require: bool = True):

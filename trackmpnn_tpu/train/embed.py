@@ -53,12 +53,20 @@ class EmbedTrainer:
     def __init__(self, arch: str = "espv2", num_vis_feats: int = 128,
                  input_hw: Tuple[int, int] = (384, 1280), seed: int = 5,
                  max_dets: int = 256, train_bn: bool = False,
-                 dcn_max_offset: float = None, frame_chunk="auto"):
+                 dcn_max_offset: float = None, frame_chunk="auto",
+                 conv_dtype=None):
         self.arch = arch
         self.num_vis_feats = num_vis_feats
         self.input_hw = input_hw
         self.max_dets = max_dets  # fixed gather capacity (bounds recompiles)
         self.train_bn = train_bn
+        # conv_dtype: contraction precision for every backbone conv/matmul
+        # (backbones/layers.py conv_compute).  "bfloat16" feeds the MXU in
+        # bf16 with f32 accumulation; params, BN and losses stay f32.
+        if isinstance(conv_dtype, str):
+            conv_dtype = None if conv_dtype in ("", "f32", "float32") \
+                else jnp.dtype(conv_dtype).type
+        self.conv_dtype = conv_dtype
         # frame_chunk: run the backbone over the chunk's frames `frame_chunk`
         # at a time via a checkpointed lax.map instead of one [T,...] batch.
         # The backward then recomputes per frame-chunk, so HBM peak is one
@@ -137,9 +145,14 @@ class EmbedTrainer:
         train_bn = self.train_bn
         fc = self.frame_chunk
 
+        conv_dt = self.conv_dtype
+
         def backbone(p, images, rng):
+            from trackmpnn_tpu.backbones.layers import conv_compute
+
             if fc is None:
-                return apply(p, images, train_bn, rng)       # [T, Hm, Wm, C]
+                with conv_compute(conv_dt):
+                    return apply(p, images, train_bn, rng)   # [T, Hm, Wm, C]
             T = images.shape[0]
             nc = -(-T // fc)
             pad = nc * fc - T
@@ -149,7 +162,8 @@ class EmbedTrainer:
             def chunk(args):
                 x, i = args
                 r = jax.random.fold_in(rng, i) if rng is not None else None
-                return apply(p, x, train_bn, r)
+                with conv_compute(conv_dt):
+                    return apply(p, x, train_bn, r)
 
             fmap = jax.lax.map(jax.checkpoint(chunk), (xs, jnp.arange(nc)))
             return fmap.reshape(nc * fc, *fmap.shape[2:])[:T]
@@ -179,9 +193,14 @@ class EmbedTrainer:
     def _build_infer(self):
         apply = self._apply
 
+        conv_dt = self.conv_dtype
+
         @jax.jit
         def run(params, images, fr_of, cy, cx):
-            fmap = apply(params, images, False, None)
+            from trackmpnn_tpu.backbones.layers import conv_compute
+
+            with conv_compute(conv_dt):
+                fmap = apply(params, images, False, None)
             return fmap[fr_of, cy, cx]
 
         return run
@@ -212,6 +231,15 @@ class EmbedTrainer:
         fr_of = np.array(fr_of + [0] * pad, np.int32)
         cys = np.array(cys + [0] * pad, np.int32)
         cxs = np.array(cxs + [0] * pad, np.int32)
+        # centers must already be FEATURE-MAP coords (data.common.
+        # center_indices divides by down_ratio); input-pixel coords would
+        # silently clamp in the gather and train on edge pixels
+        fh, fw = h // self.down_ratio, w // self.down_ratio
+        if n and (cys[:n].max() >= fh or cxs[:n].max() >= fw):
+            raise ValueError(
+                f"center coords exceed the {fh}x{fw} feature map (down_ratio="
+                f"{self.down_ratio}); pass fmap-space centers, see "
+                "data.common.center_indices")
         valid = np.arange(cap) < n
         return images, fr_of, cys, cxs, valid, n
 

@@ -71,6 +71,11 @@ def build_train_parser() -> argparse.ArgumentParser:
                    help="embed net uses live batch BN statistics while "
                         "training (reference .train() semantics); default "
                         "freezes BN to running stats")
+    p.add_argument("--embed-bf16", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="embedding-net convs contract in bf16 with f32 "
+                        "accumulation (BN/losses stay f32; backbones/"
+                        "layers.py conv_compute)")
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="batched (block) training carries edge-state and "
