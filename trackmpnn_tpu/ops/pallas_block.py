@@ -59,8 +59,12 @@ def _mm(x, w, mm_dtype):
 
 
 def _gates(he_m, ga, gb, whh, bhh, sign, mm_dtype):
-    """Recomputable gate stack; he_m is the masked f32 rectangle [G,na,nt,H]."""
+    """Recomputable gate stack; he_m is the masked f32 rectangle [G,na,nt,H].
+    ga/gb may arrive bf16 (streamed at half the HBM bytes when the step
+    runs mixed-precision); gate math is always f32."""
     G, na, nt, H = he_m.shape
+    ga = ga.astype(jnp.float32)
+    gb = gb.astype(jnp.float32)
     gh = _mm(he_m.reshape(G * na * nt, H), whh, mm_dtype).reshape(
         G, na, nt, 3 * H) + bhh
     gi = ga[:, :, None, :] + sign * gb[:, None, :, :]
@@ -121,8 +125,8 @@ def _bwd_kernel(he_ref, ga_ref, gb_ref, whh_ref, whh_t_ref, bhh_ref,
                    mm_dtype).reshape(G, na, nt, H)
              + grs_ref[:][:, :, None, :] + gcs_ref[:][:, None, :, :])
     dhe_ref[:] = (dhe_m * m).astype(dhe_ref.dtype)
-    dga_ref[:] = jnp.sum(dgi, axis=2)
-    dgb_ref[:] = sign * jnp.sum(dgi, axis=1)
+    dga_ref[:] = jnp.sum(dgi, axis=2).astype(dga_ref.dtype)
+    dgb_ref[:] = (sign * jnp.sum(dgi, axis=1)).astype(dgb_ref.dtype)
 
     dwhh = _mm(he_m.reshape(G * na * nt, H).T, dgh.reshape(G * na * nt, 3 * H),
                mm_dtype)
@@ -148,8 +152,11 @@ def fused_block_round(h_e, ga, gb, w_hh, b_hh, w_eb, mask3, sign, mm_dtype,
                       g=DEFAULT_G, interpret=False):
     """(edge_out, rs, cs, logit) for one message-passing round.
 
-    h_e [BT,na,nt,H] (f32/bf16); ga [BT,na,3H] / gb [BT,nt,3H] f32 input
-    gates (ga includes b_ih); w_eb [H,1] this branch's slice of the edge
+    h_e [BT,na,nt,H] (f32/bf16); ga [BT,na,3H] / gb [BT,nt,3H] f32-or-bf16
+    input gates (ga includes b_ih; bf16 halves their HBM streaming both
+    ways — gate math and weight-gradient accumulation stay f32, and the
+    bf16 dga/dgb cotangents are cast back to f32 by astype's VJP before
+    any upstream reduction); w_eb [H,1] this branch's slice of the edge
     output head (its bias is added by the caller); mask3 [BT,na,nt] f32
     0/1; sign +-1.0 applies to gb ('diff' = -1.0).  Returns edge_out in
     h_e's dtype, rs/cs f32, and the per-branch head partial
@@ -215,8 +222,8 @@ def _bwd(sign, mm_dtype, g, interpret, res, grads):
                _const_spec((1, H))]),
         out_shape=(
             jax.ShapeDtypeStruct((bt_pad, na, nt, H), h_e.dtype),
-            jax.ShapeDtypeStruct((bt_pad, na, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((bt_pad, nt, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, na, 3 * H), ga.dtype),
+            jax.ShapeDtypeStruct((bt_pad, nt, 3 * H), gb.dtype),
             jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((1, H), jnp.float32),

@@ -660,6 +660,13 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                     sgn = -1.0
                 ga = ga_d[bb.active_idx] + eg["b_ih"]
                 gb = gb_d[bb.newdet_idx]
+                if (compute_dtype is not None
+                        and os.environ.get("TM_GAB_F32", "") != "1"):
+                    # stream the input gates at half the HBM bytes; the
+                    # kernel computes in f32 and astype's VJP casts the
+                    # bf16 dga/dgb back to f32 before upstream reductions
+                    ga = ga.astype(compute_dtype)
+                    gb = gb.astype(compute_dtype)
                 w_eb = params["out_edge"]["w"][bi * H:(bi + 1) * H]
                 edge_out, rs, cs, lg = fused_block_round(
                     h_e_sl, ga, gb, eg["w_hh"], eg["b_hh"], w_eb, m3, sgn,
