@@ -43,9 +43,13 @@ from trackmpnn_tpu.ops.pallas_util import (
     pad_leading as _pad_bt,
 )
 
-# blocks per grid step: G=8 stack-OOMs the 16MB scoped VMEM in the backward
-# kernel at bench shapes (17.9M); G=4 fits and times 16.8 ms/step (bf16)
-DEFAULT_G = int(os.environ.get("TM_BLOCK_G", "4"))
+# blocks per grid step — the VMEM-vs-launch-overhead lever, settled by an
+# on-chip sweep (logs/bench_g[4-7].log, bench shapes B=8/defer/bf16):
+# G=4 12.39 ms, G=5 12.23, G=6 12.13 (16.83M edges/s), G=7/8 fail to
+# compile (the backward kernel's gate stack overflows the 16MB scoped
+# VMEM between 6 and 8).  A slice-wise H-per-gate rewrite that avoided
+# the 3H rectangles measured SLOWER (13.09 at G=4) and was reverted.
+DEFAULT_G = int(os.environ.get("TM_BLOCK_G", "6"))
 
 
 def _mm(x, w, mm_dtype):
