@@ -47,3 +47,130 @@ def test_gat_scores_grads():
     for x, y, name in zip(g_f, g_r, ["dha", "dhn", "da"]):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+# ---------------------------------------------------------- round-3 kernels --
+def test_gat_scores_stats_forward():
+    rng = np.random.default_rng(2)
+    ha, hn, a, m = make_inputs(rng, BT=9)
+    e, rmax, cmax, sal, sbl = jax.jit(
+        lambda *xs: __import__("trackmpnn_tpu.ops.pallas_gat",
+                               fromlist=["gat_scores_stats"]
+                               ).gat_scores_stats(*xs, ALPHA, 4, True)
+    )(ha, hn, a, m)
+    want_e = reference_gat_scores(ha, hn, a, m, ALPHA)
+    np.testing.assert_allclose(np.asarray(e), np.asarray(want_e),
+                               rtol=1e-5, atol=1e-6)
+    from trackmpnn_tpu.ops.pallas_gat import NEG_SCORE
+
+    e_m = np.where(np.asarray(m) > 0, np.asarray(want_e), NEG_SCORE)
+    np.testing.assert_allclose(np.asarray(rmax), e_m.max(2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cmax), e_m.max(1), rtol=1e-6)
+    want_sal = (np.asarray(m) * np.exp(e_m - e_m.max(2, keepdims=True))).sum(2)
+    want_sbl = (np.asarray(m) * np.exp(e_m - e_m.max(1, keepdims=True))).sum(1)
+    np.testing.assert_allclose(np.asarray(sal), want_sal, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sbl), want_sbl, rtol=1e-5, atol=1e-6)
+
+
+def test_gat_scores_stats_grads():
+    """Grads of (e, sa, sb) — where sa/sb are the assembled global pieces
+    exp(rmax - 0)*sa_l with rmax stop-grad'd — must match XLA autodiff of
+    the direct formulation sum m3*exp(e)."""
+    from trackmpnn_tpu.ops.pallas_gat import gat_scores_stats
+
+    rng = np.random.default_rng(3)
+    ha, hn, a, m = make_inputs(rng, BT=6)
+    we = jax.random.normal(jax.random.key(1), m.shape) * jnp.asarray(m)
+    na, nt = m.shape[1], m.shape[2]
+    wa = jax.random.normal(jax.random.key(2), (m.shape[0], na))
+    wb = jax.random.normal(jax.random.key(3), (m.shape[0], nt))
+
+    def fused(ha, hn, a):
+        e, rmax, cmax, sal, sbl = gat_scores_stats(ha, hn, a, m, ALPHA, 4,
+                                                   True)
+        rmax = jax.lax.stop_gradient(rmax)
+        cmax = jax.lax.stop_gradient(cmax)
+        sa = jnp.exp(rmax) * sal        # global m = 0 for the test
+        sb = jnp.exp(cmax) * sbl
+        return jnp.sum(e * we) + jnp.sum(sa * wa) + jnp.sum(sb * wb)
+
+    def ref(ha, hn, a):
+        e = reference_gat_scores(ha, hn, a, m, ALPHA)
+        sa = jnp.sum(m * jnp.exp(jnp.where(m > 0, e, -jnp.inf)), axis=2)
+        sb = jnp.sum(m * jnp.exp(jnp.where(m > 0, e, -jnp.inf)), axis=1)
+        return jnp.sum(e * we) + jnp.sum(sa * wa) + jnp.sum(sb * wb)
+
+    np.testing.assert_allclose(float(fused(ha, hn, a)), float(ref(ha, hn, a)),
+                               rtol=1e-5)
+    g_f = jax.grad(fused, argnums=(0, 1, 2))(ha, hn, a)
+    g_r = jax.grad(ref, argnums=(0, 1, 2))(ha, hn, a)
+    for x, y, name in zip(g_f, g_r, ["dha", "dhn", "da"]):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def _agg_inputs(rng, BT=7, na=8, nt=8, H=16, dropout=False):
+    e = rng.normal(size=(BT, na, nt)).astype(np.float32)
+    m = (rng.random((BT, na, nt)) > 0.3).astype(np.float32)
+    m_row = rng.normal(size=(BT, na)).astype(np.float32) * 0.5
+    m_col = rng.normal(size=(BT, nt)).astype(np.float32) * 0.5
+    z_row = (rng.random((BT, na)) + 0.5).astype(np.float32)
+    z_col = (rng.random((BT, nt)) + 0.5).astype(np.float32)
+    he = rng.normal(size=(BT, na, nt, H)).astype(np.float32)
+    if dropout:
+        ka = (rng.random((BT, na, nt)) > 0.5).astype(np.float32)
+        kn = (rng.random((BT, na, nt)) > 0.5).astype(np.float32)
+        keep = 0.5
+    else:
+        ka = kn = m
+        keep = 1.0
+    return tuple(jnp.asarray(x)
+                 for x in (e, m_row, m_col, z_row, z_col, he, m, ka, kn)
+                 ) + (keep,)
+
+
+@pytest.mark.parametrize("dropout", [False, True])
+def test_gat_aggregate_forward(dropout):
+    from trackmpnn_tpu.ops.pallas_gat import (
+        gat_aggregate, reference_gat_aggregate)
+
+    rng = np.random.default_rng(4)
+    args = _agg_inputs(rng, dropout=dropout)
+    rs, cs = gat_aggregate(*args, 4, True)
+    w_rs, w_cs = reference_gat_aggregate(*args)
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(w_rs),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cs), np.asarray(w_cs),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("dropout", [False, True])
+def test_gat_aggregate_grads(dropout):
+    from trackmpnn_tpu.ops.pallas_gat import (
+        gat_aggregate, reference_gat_aggregate)
+
+    rng = np.random.default_rng(5)
+    args = _agg_inputs(rng, BT=5, dropout=dropout)
+    keep = args[-1]
+    diff_args = args[:6]          # e, m_row, m_col, z_row, z_col, he
+    rest = args[6:9]              # mask3, ka, kn
+    H = args[5].shape[-1]
+    wr = jax.random.normal(jax.random.key(4), args[5].shape[:2] + (H,))
+    wc = jax.random.normal(jax.random.key(5),
+                           (args[5].shape[0], args[5].shape[2], H))
+
+    def scalar(f):
+        def s(*xs):
+            rs, cs = f(*xs, *rest, keep)
+            return jnp.sum(rs * wr) + jnp.sum(cs * wc)
+        return s
+
+    fused = lambda *xs: gat_aggregate(*xs, 4, True)
+    g_f = jax.grad(scalar(fused), argnums=tuple(range(6)))(*diff_args)
+    g_r = jax.grad(scalar(reference_gat_aggregate),
+                   argnums=tuple(range(6)))(*diff_args)
+    for x, y, name in zip(g_f, g_r,
+                          ["de", "dm_row", "dm_col", "dz_row", "dz_col",
+                           "dhe"]):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)

@@ -217,10 +217,15 @@ def test_embed_frame_chunk_parity(tmp_path):
         feats, loss = et.train_chunk(vis_meta, tids)
         losses.append(loss)
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    # Params after one ADAM step: update = lr*m/(sqrt(v)+eps) amplifies
+    # reduction-order noise for near-zero-gradient weights (XLA:CPU
+    # multi-threaded reductions are run-order dependent), so individual
+    # elements wobble ~1e-3 relative while a semantic chunking bug (BN
+    # leakage, wrong frame padding) shows up at 1e-1 on many elements.
     for k in et_full.params:
         np.testing.assert_allclose(np.asarray(et_full.params[k]),
                                    np.asarray(et_chunk.params[k]),
-                                   rtol=5e-4, atol=1e-5, err_msg=k)
+                                   rtol=1e-2, atol=1e-4, err_msg=k)
 
     import pytest
 

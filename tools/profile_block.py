@@ -35,6 +35,7 @@ from trackmpnn_tpu.train.block import build_block_batch, make_block_train_step
 FUSED = os.environ.get("FUSED", "1") == "1"
 BF16 = os.environ.get("BF16", "1") == "1"
 DEFER = os.environ.get("DEFER", "1") == "1"
+NATT = int(os.environ.get("NATT", "0"))  # GAT attention heads
 NSTEPS = int(os.environ.get("NSTEPS", "6"))
 TOPK = int(os.environ.get("TOPK", "40"))
 
@@ -65,10 +66,11 @@ def op_breakdown(trace_dir):
 
 def main():
     print(f"devices: {jax.devices()}  fused={FUSED} bf16={BF16} "
-          f"defer={DEFER}", flush=True)
+          f"defer={DEFER} natt={NATT}", flush=True)
     schedules, cap, t_cap = bench.build_workload()
     bb = build_block_batch(schedules, t_cap)
-    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=64)
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=64,
+                           nattheads=NATT)
     params = mpnn.init_params(jax.random.key(0), cfg)
     stats = mpnn.init_batch_stats(cfg)
     tx = optim.make_optimizer(1e-4, 5e-4)
@@ -78,9 +80,14 @@ def main():
                                  fused=FUSED, defer_loss=DEFER)
     state = [params, stats, opt]
 
+    rng = [jax.random.key(7)] if NATT else None
+
     def one():
+        r = None
+        if rng is not None:
+            rng[0], r = jax.random.split(rng[0])
         state[0], state[1], state[2], loss, _ = step(state[0], state[1],
-                                                     state[2], bb)
+                                                     state[2], bb, r)
         return loss
 
     jax.block_until_ready(one())  # compile

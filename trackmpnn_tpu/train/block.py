@@ -375,43 +375,76 @@ def _block_gat_support(gat_params, h_d_b, h_e_b, bb: BlockBatch, em3,
     NEG = jnp.float32(-1e30)
     if fused:
         from trackmpnn_tpu.ops.pallas_gat import DEFAULT_G as PG_G
-        from trackmpnn_tpu.ops.pallas_gat import gat_scores
+        from trackmpnn_tpu.ops.pallas_gat import (gat_aggregate,
+                                                  gat_scores_stats)
     acc = None
     for hi, hp in enumerate(gat_params):
         h_att = h_d_b @ hp["W_att"]                          # [nD, H]
         ha = h_att[bb.active_idx]                            # [BT, na, H]
         hn = h_att[bb.newdet_idx]                            # [BT, nt, H]
+        keep = 1.0 - mpnn.ATT_DROPOUT if (train and mpnn.ATT_DROPOUT > 0.0) \
+            else 1.0
+        if keep < 1.0:
+            ka = jax.random.bernoulli(jax.random.fold_in(drop_rng, 2 * hi),
+                                      keep, em3.shape)
+            kn = jax.random.bernoulli(jax.random.fold_in(drop_rng, 2 * hi + 1),
+                                      keep, em3.shape)
         if fused:
-            # |ha_i - hn_j| never leaves VMEM (ops/pallas_gat.py)
-            e = gat_scores(ha, hn, hp["a"], m3,
-                           float(mpnn.LEAKY_ALPHA), PG_G, interp)
+            # whole attention chain in VMEM (ops/pallas_gat.py): scores +
+            # local max/exp-sums in one kernel, att x h_e in another; the
+            # global softmax normalizer is assembled from det-sized pieces
+            # (two-pass logsumexp), so no score rectangle ever crosses HBM
+            # more than once and the scan stacks no rectangle residuals.
+            e, rmax, cmax, sal, sbl = gat_scores_stats(
+                ha, hn, hp["a"], m3, float(mpnn.LEAKY_ALPHA), PG_G, interp)
+            # the shift is value/grad-invariant: stop-grad it (softmax
+            # convention) so no cotangents ride the segment_max argmax
+            rmax = jax.lax.stop_gradient(rmax)
+            cmax = jax.lax.stop_gradient(cmax)
+            m_d = segment_max(jnp.concatenate([rmax.reshape(-1),
+                                               cmax.reshape(-1)]),
+                              seg, nD, mask=vm)              # [nD]
+            safe_m = jnp.where(m_d > NEG / 2, m_d, 0.0)
+            m_row = safe_m[bb.active_idx]                    # [BT, na]
+            m_col = safe_m[bb.newdet_idx]                    # [BT, nt]
+            # exp(NEG - m) underflows to exactly 0 for all-masked rows
+            sa = jnp.exp(rmax - m_row) * sal
+            sb = jnp.exp(cmax - m_col) * sbl
+            z = segment_sum(jnp.concatenate([sa.reshape(-1),
+                                             sb.reshape(-1)]),
+                            seg, nD, mask=vm)                # [nD]
+            kka, kkn = (ka.astype(jnp.float32), kn.astype(jnp.float32)) \
+                if keep < 1.0 else (m3, m3)
+            rs, cs = gat_aggregate(e, m_row, m_col, z[bb.active_idx],
+                                   z[bb.newdet_idx], h_e_b, m3, kka, kkn,
+                                   keep, PG_G, interp)
         else:
             a_in = jnp.abs(ha[:, :, None, :] - hn[:, None, :, :])
             e = jax.nn.leaky_relu((a_in @ hp["a"])[..., 0],
                                   mpnn.LEAKY_ALPHA)
-        e_m = jnp.where(em3, e, NEG)
-        rmax = jnp.max(e_m, axis=2)                          # [BT, na]
-        cmax = jnp.max(e_m, axis=1)                          # [BT, nt]
-        m_d = segment_max(jnp.concatenate([rmax.reshape(-1), cmax.reshape(-1)]),
-                          seg, nD, mask=vm)                  # [nD]
-        safe_m = jnp.where(m_d > NEG / 2, m_d, 0.0)
-        ea = jnp.where(em3, jnp.exp(e - safe_m[bb.active_idx][:, :, None]), 0.0)
-        en = jnp.where(em3, jnp.exp(e - safe_m[bb.newdet_idx][:, None, :]), 0.0)
-        z = segment_sum(jnp.concatenate([jnp.sum(ea, 2).reshape(-1),
-                                         jnp.sum(en, 1).reshape(-1)]),
-                        seg, nD, mask=vm)                    # [nD]
-        att_a = ea / jnp.maximum(z[bb.active_idx][:, :, None], 1e-30)
-        att_n = en / jnp.maximum(z[bb.newdet_idx][:, None, :], 1e-30)
-        if train and mpnn.ATT_DROPOUT > 0.0:
-            keep = 1.0 - mpnn.ATT_DROPOUT
-            ka = jax.random.bernoulli(jax.random.fold_in(drop_rng, 2 * hi),
-                                      keep, att_a.shape)
-            kn = jax.random.bernoulli(jax.random.fold_in(drop_rng, 2 * hi + 1),
-                                      keep, att_n.shape)
-            att_a = att_a * ka / keep
-            att_n = att_n * kn / keep
-        rs = jnp.sum(att_a[..., None] * h_e_b, axis=2)       # [BT, na, H]
-        cs = jnp.sum(att_n[..., None] * h_e_b, axis=1)       # [BT, nt, H]
+            e_m = jnp.where(em3, e, NEG)
+            rmax = jnp.max(e_m, axis=2)                      # [BT, na]
+            cmax = jnp.max(e_m, axis=1)                      # [BT, nt]
+            m_d = segment_max(jnp.concatenate([rmax.reshape(-1),
+                                               cmax.reshape(-1)]),
+                              seg, nD, mask=vm)              # [nD]
+            safe_m = jnp.where(m_d > NEG / 2, m_d, 0.0)
+            ea = jnp.where(em3,
+                           jnp.exp(e - safe_m[bb.active_idx][:, :, None]),
+                           0.0)
+            en = jnp.where(em3,
+                           jnp.exp(e - safe_m[bb.newdet_idx][:, None, :]),
+                           0.0)
+            z = segment_sum(jnp.concatenate([jnp.sum(ea, 2).reshape(-1),
+                                             jnp.sum(en, 1).reshape(-1)]),
+                            seg, nD, mask=vm)                # [nD]
+            att_a = ea / jnp.maximum(z[bb.active_idx][:, :, None], 1e-30)
+            att_n = en / jnp.maximum(z[bb.newdet_idx][:, None, :], 1e-30)
+            if keep < 1.0:
+                att_a = att_a * ka / keep
+                att_n = att_n * kn / keep
+            rs = jnp.sum(att_a[..., None] * h_e_b, axis=2)   # [BT, na, H]
+            cs = jnp.sum(att_n[..., None] * h_e_b, axis=1)   # [BT, nt, H]
         es = segment_sum(
             jnp.concatenate([rs.reshape(-1, H), -cs.reshape(-1, H)]),
             seg, nD, mask=vm)
