@@ -43,13 +43,27 @@ from trackmpnn_tpu.ops.pallas_util import (
     pad_leading as _pad_bt,
 )
 
-# blocks per grid step — the VMEM-vs-launch-overhead lever, settled by an
-# on-chip sweep (logs/bench_g[4-7].log, bench shapes B=8/defer/bf16):
-# G=4 12.39 ms, G=5 12.23, G=6 12.13 (16.83M edges/s), G=7/8 fail to
-# compile (the backward kernel's gate stack overflows the 16MB scoped
-# VMEM between 6 and 8).  A slice-wise H-per-gate rewrite that avoided
-# the 3H rectangles measured SLOWER (13.09 at G=4) and was reverted.
+# blocks per grid step — the VMEM-vs-launch-overhead lever.  Round-3 sweep
+# (logs/bench_g[4-7].log, bench shapes B=8/defer/bf16): G=4 12.39 ms,
+# G=5 12.23, G=6 12.13 (16.83M edges/s), G>=7 failed to compile against
+# Mosaic's DEFAULT 16MB scoped-VMEM budget.  Round 4 (logs/bench_gk_ab*):
+# vmem_limit_bytes (TM_VMEM_MB) CAN lift that budget and unlock G up to
+# ~24, but raising it is a measured LOSS at every G — e.g. G=6/prefix-4
+# runs 8.50 ms with the default budget vs 10.27 with a 110MB one (the
+# bigger budget degrades Mosaic's pipelining), so TM_VMEM_MB defaults to
+# 0 = leave the compiler default; it remains as the knob that proved the
+# G ceiling was a parameter, not the win.  The actual round-4 win was the
+# step-major PREFIX segmentation in train/block.py (TM_PREFIX_K).  A
+# slice-wise H-per-gate rewrite that avoided the 3H rectangles measured
+# SLOWER (13.09 at G=4) and was reverted — see docs/RESULTS.md.
 DEFAULT_G = int(os.environ.get("TM_BLOCK_G", "6"))
+_VMEM_MB = int(os.environ.get("TM_VMEM_MB", "0"))
+
+
+def _compiler_params():
+    if _VMEM_MB <= 0:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_MB * 1024 * 1024)
 
 
 def _mm(x, w, mm_dtype):
@@ -194,6 +208,7 @@ def _fwd(h_e, ga, gb, w_hh, b_hh, w_eb, mask3, sign, mm_dtype, g, interpret):
             jax.ShapeDtypeStruct((bt_pad, na, nt), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(he_p, ga_p, gb_p, w_hh, bhh2, w_eb, m_p)
     out = (eo[:BT], rs[:BT], cs[:BT], lg[:BT])
     return out, (h_e, ga, gb, w_hh, b_hh, w_eb, mask3)
@@ -233,6 +248,7 @@ def _bwd(sign, mm_dtype, g, interpret, res, grads):
             jax.ShapeDtypeStruct((1, H), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(he_p, ga_p, gb_p, w_hh, whh_t, bhh2, w_eb, m_p, geo_p, grs_p, gcs_p,
       glg_p)
     return (dhe[:BT], dga[:BT], dgb[:BT], dwhh, dbhh.reshape(3 * H),

@@ -260,6 +260,25 @@ class StaticTargets(NamedTuple):
     sel_mask: jnp.ndarray  # bool[BT, na, nt] latest positive per column
 
 
+class _SegView(NamedTuple):
+    """Step-major prefix slice of the per-block arrays (first P blocks).
+
+    Block q = s*B + w (s = schedule step, w = window), so the blocks live
+    at scan step s are exactly the first (s+1)*B — prefix slices never
+    touch dead future blocks."""
+
+    act: jnp.ndarray     # i32[P, na_cap] compact det id per active row
+    new: jnp.ndarray     # i32[P, nt_cap] compact det id per new-det col
+    bna: jnp.ndarray     # i32[P]
+    bnt: jnp.ndarray     # i32[P]
+    row_m: jnp.ndarray   # bool[P, na_cap]
+    col_m: jnp.ndarray   # bool[P, nt_cap]
+    bw: jnp.ndarray      # i32[P] block -> window
+    bs: jnp.ndarray      # i32[P] block -> step
+    st: "StaticTargets"  # per-block static target picks, step-major
+    seg: jnp.ndarray     # i32[P*(na+nt)] incident-union segment ids
+
+
 def build_static_targets(bb: BlockBatch, row_m, col_m) -> StaticTargets:
     nD = bb.det_feat.shape[0]
     na_cap, nt_cap = bb.na_cap, bb.nt_cap
@@ -288,8 +307,9 @@ def build_static_targets(bb: BlockBatch, row_m, col_m) -> StaticTargets:
                          sel_mask=sel_mask)
 
 
-def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, st,
-                          det_live, blk_live, row_m, col_m, em3):
+def _block_targets_and_ce(logits_d, logits_e, det_label, active_idx,
+                          blk_na, blk_nt, st, det_live, blk_live, row_m,
+                          col_m, em3):
     """Targets + per-detection CE in block layout.
 
     Same contract as losses.targets_and_ce (ref loss.py:8-44, 77-115):
@@ -300,13 +320,14 @@ def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, st,
         quantity over the active index lists;
       * all label-side picks come precomputed (build_static_targets) and
         are only re-masked by the live set here.
+    Block-order agnostic (works on step-major prefix slices).
     Returns (targets_d i32, targets_e i32, ce_sum).
     """
     nD = logits_d.shape[0]
     tpos = st.tpos & em3
     targets_e = tpos.astype(jnp.int32)
-    targets_d = ((bb.det_label == 1) & det_live).astype(jnp.int32)
-    act_flat = bb.active_idx.reshape(-1)
+    targets_d = ((det_label == 1) & det_live).astype(jnp.int32)
+    act_flat = active_idx.reshape(-1)
     act_m = (blk_live[:, None] & row_m).reshape(-1)
 
     # ---- CE past side: dense per-column ----
@@ -321,7 +342,7 @@ def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, st,
     sumexp = jnp.sum(jnp.where(em3, jnp.exp(logits_e - safe_m[:, None, :]), 0.0), axis=1)
     lse_col = safe_m + jnp.log(jnp.maximum(sumexp, 1e-30))
     sel_logit = jnp.sum(jnp.where(st.sel_mask, logits_e, 0.0), axis=1)
-    size_col = bb.blk_na[:, None].astype(jnp.float32)
+    size_col = blk_na[:, None].astype(jnp.float32)
     ce_past = jnp.sum(jnp.where(col_has, (lse_col - sel_logit)
                                 / jnp.maximum(size_col, 1.0), 0.0))
 
@@ -333,10 +354,10 @@ def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, st,
     m_d = jax.lax.stop_gradient(
         segment_max(m_r.reshape(-1), act_flat, nD, mask=act_m))
     safe_d = jnp.where(m_d > neg / 2, m_d, 0.0)
-    shift = safe_d[bb.active_idx][:, :, None]
+    shift = safe_d[active_idx][:, :, None]
     sexp_row = jnp.sum(jnp.where(em3, jnp.exp(logits_e - shift), 0.0), axis=2)
     cnt_row = jnp.where(blk_live[:, None] & row_m,
-                        bb.blk_nt[:, None].astype(jnp.float32), 0.0)
+                        blk_nt[:, None].astype(jnp.float32), 0.0)
     packed = jnp.stack([sexp_row, cnt_row], axis=-1).reshape(-1, 2)
     sums = segment_sum(packed, act_flat, nD, mask=act_m)
     lse_d = safe_d + jnp.log(jnp.maximum(sums[:, 0], 1e-30))
@@ -346,7 +367,7 @@ def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, st,
     # and targets are a subset of labels
     part_b = st.part_b & em3
     det_row = jnp.stack([lse_d, size_d], axis=1)
-    rb = det_row[bb.active_idx]                                 # [BT, na, 2]
+    rb = det_row[active_idx]                                 # [BT, na, 2]
     per_edge = jnp.where(
         part_b, (rb[:, :, None, 0] - logits_e) / jnp.maximum(rb[:, :, None, 1], 1.0), 0.0)
     ce_fut = jnp.sum(per_edge)
@@ -354,7 +375,7 @@ def _block_targets_and_ce(logits_d, logits_e, bb: BlockBatch, st,
     return targets_d, targets_e, ce_past + ce_fut
 
 
-def _block_gat_support(gat_params, h_d_b, h_e_b, bb: BlockBatch, em3,
+def _block_gat_support(gat_params, h_d_b, h_e_b, active_idx, newdet_idx, em3,
                        seg, vm, nD, drop_rng, train, fused=False, m3=None,
                        interp=False):
     """GAT-attention edge_support in dual layout (ref layers.py:7-46).
@@ -380,8 +401,8 @@ def _block_gat_support(gat_params, h_d_b, h_e_b, bb: BlockBatch, em3,
     acc = None
     for hi, hp in enumerate(gat_params):
         h_att = h_d_b @ hp["W_att"]                          # [nD, H]
-        ha = h_att[bb.active_idx]                            # [BT, na, H]
-        hn = h_att[bb.newdet_idx]                            # [BT, nt, H]
+        ha = h_att[active_idx]                            # [BT, na, H]
+        hn = h_att[newdet_idx]                            # [BT, nt, H]
         keep = 1.0 - mpnn.ATT_DROPOUT if (train and mpnn.ATT_DROPOUT > 0.0) \
             else 1.0
         if keep < 1.0:
@@ -405,8 +426,8 @@ def _block_gat_support(gat_params, h_d_b, h_e_b, bb: BlockBatch, em3,
                                                cmax.reshape(-1)]),
                               seg, nD, mask=vm)              # [nD]
             safe_m = jnp.where(m_d > NEG / 2, m_d, 0.0)
-            m_row = safe_m[bb.active_idx]                    # [BT, na]
-            m_col = safe_m[bb.newdet_idx]                    # [BT, nt]
+            m_row = safe_m[active_idx]                    # [BT, na]
+            m_col = safe_m[newdet_idx]                    # [BT, nt]
             # exp(NEG - m) underflows to exactly 0 for all-masked rows
             sa = jnp.exp(rmax - m_row) * sal
             sb = jnp.exp(cmax - m_col) * sbl
@@ -415,8 +436,8 @@ def _block_gat_support(gat_params, h_d_b, h_e_b, bb: BlockBatch, em3,
                             seg, nD, mask=vm)                # [nD]
             kka, kkn = (ka.astype(jnp.float32), kn.astype(jnp.float32)) \
                 if keep < 1.0 else (m3, m3)
-            rs, cs = gat_aggregate(e, m_row, m_col, z[bb.active_idx],
-                                   z[bb.newdet_idx], h_e_b, m3, kka, kkn,
+            rs, cs = gat_aggregate(e, m_row, m_col, z[active_idx],
+                                   z[newdet_idx], h_e_b, m3, kka, kkn,
                                    keep, PG_G, interp)
         else:
             a_in = jnp.abs(ha[:, :, None, :] - hn[:, None, :, :])
@@ -430,16 +451,16 @@ def _block_gat_support(gat_params, h_d_b, h_e_b, bb: BlockBatch, em3,
                               seg, nD, mask=vm)              # [nD]
             safe_m = jnp.where(m_d > NEG / 2, m_d, 0.0)
             ea = jnp.where(em3,
-                           jnp.exp(e - safe_m[bb.active_idx][:, :, None]),
+                           jnp.exp(e - safe_m[active_idx][:, :, None]),
                            0.0)
             en = jnp.where(em3,
-                           jnp.exp(e - safe_m[bb.newdet_idx][:, None, :]),
+                           jnp.exp(e - safe_m[newdet_idx][:, None, :]),
                            0.0)
             z = segment_sum(jnp.concatenate([jnp.sum(ea, 2).reshape(-1),
                                              jnp.sum(en, 1).reshape(-1)]),
                             seg, nD, mask=vm)                # [nD]
-            att_a = ea / jnp.maximum(z[bb.active_idx][:, :, None], 1e-30)
-            att_n = en / jnp.maximum(z[bb.newdet_idx][:, None, :], 1e-30)
+            att_a = ea / jnp.maximum(z[active_idx][:, :, None], 1e-30)
+            att_n = en / jnp.maximum(z[newdet_idx][:, None, :], 1e-30)
             if keep < 1.0:
                 att_a = att_a * ka / keep
                 att_n = att_n * kn / keep
@@ -454,12 +475,18 @@ def _block_gat_support(gat_params, h_d_b, h_e_b, bb: BlockBatch, em3,
 
 def _per_window_bce_dual(scores_d, t_d, mask_d, scores_e, t_e, mask_e, B):
     """Sum over windows of the window's masked-mean BCE across BOTH layouts
-    (matches packed._per_window_bce on the union of det + edge rows)."""
+    (matches packed._per_window_bce on the union of det + edge rows).
+
+    Detection arrays are window-major [B*capD]; edge arrays are STEP-MAJOR
+    [P, na, nt] with P a multiple of B (block q belongs to window q mod B)."""
     pt_d = jnp.where(t_d == 1, scores_d, 1.0 - scores_d)
     pt_e = jnp.where(t_e == 1, scores_e, 1.0 - scores_e)
+    le = jnp.where(mask_e, jnp.log(pt_e + EPS), 0.0)
+    le = le.reshape(-1, B, le.shape[1] * le.shape[2])
     s = (jnp.sum(jnp.where(mask_d, jnp.log(pt_d + EPS), 0.0).reshape(B, -1), 1)
-         + jnp.sum(jnp.where(mask_e, jnp.log(pt_e + EPS), 0.0).reshape(B, -1), 1))
-    c = (jnp.sum(mask_d.reshape(B, -1), 1) + jnp.sum(mask_e.reshape(B, -1), 1))
+         + jnp.sum(le, axis=(0, 2)))
+    c = (jnp.sum(mask_d.reshape(B, -1), 1)
+         + jnp.sum(mask_e.reshape(-1, B, le.shape[2]), axis=(0, 2)))
     return -jnp.sum(s / jnp.maximum(c, 1.0))
 
 
@@ -535,22 +562,64 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     H = cfg.nhidden
     nb = len(cfg.branches)
     det_window = jnp.arange(nD, dtype=jnp.int32) // capD
-    blk_window = jnp.arange(B * T, dtype=jnp.int32) // T
-    blk_step = jnp.arange(B * T, dtype=jnp.int32) % T
-    row_m = jnp.arange(na_cap, dtype=jnp.int32)[None, :] < bb.blk_na[:, None]
-    col_m = jnp.arange(nt_cap, dtype=jnp.int32)[None, :] < bb.blk_nt[:, None]
-    # incident-union segment ids (active rows then new-det cols): shared by
-    # the signed edge_support and the GAT softmax, invariant across steps
-    seg = jnp.concatenate([bb.active_idx.reshape(-1),
-                           bb.newdet_idx.reshape(-1)])
-    # label-side target picks are live-set invariant: compute ONCE per batch
-    st = build_static_targets(bb, row_m, col_m)
+
+    # static-target build stays window-major (it needs blk_edge_base)
+    row_m_w = jnp.arange(na_cap, dtype=jnp.int32)[None, :] < bb.blk_na[:, None]
+    col_m_w = jnp.arange(nt_cap, dtype=jnp.int32)[None, :] < bb.blk_nt[:, None]
+    st_w = build_static_targets(bb, row_m_w, col_m_w)
+
+    # ---- step-major reorder: block q = s*B + w (round 4) ----
+    # Blocks live at scan step s are exactly the first (s+1)*B, so the scan
+    # runs in PREFIX SEGMENTS that never touch dead future blocks — killing
+    # the triangular ~2x of masked work the window-major layout paid (at
+    # step s only s+1 of T blocks per window were live).  The reorder is a
+    # few small one-time gathers outside the scan; BlockBatch itself stays
+    # window-major (host format + block_parallel's 'data' sharding).
+    perm = jnp.arange(B * T, dtype=jnp.int32).reshape(B, T).T.reshape(-1)
+    act_sm = bb.active_idx[perm]
+    new_sm = bb.newdet_idx[perm]
+    bna_sm = bb.blk_na[perm]
+    bnt_sm = bb.blk_nt[perm]
+    row_sm = row_m_w[perm]
+    col_sm = col_m_w[perm]
+    st_sm = StaticTargets(*(a[perm] for a in st_w))
+    bw_full = jnp.arange(B * T, dtype=jnp.int32) % B   # block -> window
+    bs_full = jnp.arange(B * T, dtype=jnp.int32) // B  # block -> step
     if use_fused_loss:
         # static per-batch arrays for the fused loss kernels
-        lblm = (bb.edge_label == 1).astype(jnp.float32)
-        ebnt = jnp.stack([bb.blk_edge_base.astype(jnp.float32),
-                          bb.blk_nt.astype(jnp.float32)], axis=1)
-        bna = bb.blk_na.astype(jnp.float32)[:, None]
+        lblm_sm = (bb.edge_label == 1).astype(jnp.float32)[perm]
+        ebnt_sm = jnp.stack([bb.blk_edge_base.astype(jnp.float32),
+                             bb.blk_nt.astype(jnp.float32)], axis=1)[perm]
+        bna_f_sm = bb.blk_na.astype(jnp.float32)[perm][:, None]
+
+    # prefix segments: steps [lo, hi) only ever see the first hi*B blocks.
+    # K segments trade dead-block work (window-major did T^2; prefixes do
+    # ~T^2*(K+1)/2K) against K traces/compiles of the scan body; K=4
+    # captures most of the available 2x (measured on-chip: 14.9 -> 10.3 ms
+    # at the bench shapes, logs/bench_gk_ab.log).  TM_PREFIX_K=1 restores a
+    # single full-width scan (for A/B).  Default resolves per backend:
+    # 4 on TPU; 2 on XLA:CPU, whose LLVM codegen has segfaulted mid-suite
+    # on the 4x-unrolled program (multi-segment semantics — carry padding,
+    # per-segment views, loss accumulation — are still covered at 2).
+    k_env = os.environ.get("TM_PREFIX_K")
+    if k_env is None:
+        k_env = 4 if jax.default_backend() == "tpu" else 2
+    n_seg = max(1, min(int(k_env), T))
+    bounds = sorted({-(-T * (k + 1) // n_seg) for k in range(n_seg)})
+    segs, _lo = [], 0
+    for _hi in bounds:
+        segs.append((_lo, _hi))
+        _lo = _hi
+
+    def seg_view(P):
+        return _SegView(
+            act=act_sm[:P], new=new_sm[:P], bna=bna_sm[:P], bnt=bnt_sm[:P],
+            row_m=row_sm[:P], col_m=col_sm[:P], bw=bw_full[:P],
+            bs=bs_full[:P],
+            st=StaticTargets(*(a[:P] for a in st_sm)),
+            seg=jnp.concatenate([act_sm[:P].reshape(-1),
+                                 new_sm[:P].reshape(-1)]),
+        )
 
     # lin1 is step-independent: hoist it out of the scan (one tiny matmul)
     y1s, widths = [], []
@@ -568,9 +637,9 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     if hoist_bn:
         ids_c = jnp.minimum(bb.det_step, T - 1)
         det_isnew = (bb.det_step < T) & bb.step_valid[ids_c, det_window]
-        blk_isnew = bb.step_valid[blk_step, blk_window]
-        nph_T = segment_sum((bb.blk_na * bb.blk_nt).astype(jnp.float32),
-                            blk_step, T, mask=blk_isnew)
+        blk_isnew = bb.step_valid[bs_full, bw_full]
+        nph_T = segment_sum((bna_sm * bnt_sm).astype(jnp.float32),
+                            bs_full, T, mask=blk_isnew)
         xts_h, stats_fin_h = [], []
         for bi in range(nb):
             bp = params["branches"][bi]
@@ -582,15 +651,12 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         stats_fin_h = {"branches": stats_fin_h}
 
     h_d0 = jnp.zeros((nD, nb * H), jnp.float32)
-    h_e0 = jnp.zeros((B * T, na_cap, nt_cap, nb * H),
-                     compute_dtype or jnp.float32)
     if axis_name is not None:
         # under shard_map the hidden carries are shard-varying from round 1;
         # mark the (constant-zero) initials so the scan carry types agree
         h_d0 = jax.lax.pcast(h_d0, (axis_name,), to="varying")
-        h_e0 = jax.lax.pcast(h_e0, (axis_name,), to="varying")
 
-    def live_masks(s):
+    def live_masks(s, v):
         """Everything the loss side needs is a function of the step index."""
         sv = bb.step_valid[s]                       # [B]
         any_valid = jnp.any(sv)
@@ -600,17 +666,17 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                                      axis_name) > 0
         det_valid = sv[det_window]
         det_live = (bb.det_step <= s) & det_valid
-        blk_valid = sv[blk_window]
-        blk_live = (blk_step <= s) & blk_valid & (bb.blk_nt > 0)
-        em3 = blk_live[:, None, None] & row_m[:, :, None] & col_m[:, None, :]
+        blk_valid = sv[v.bw]
+        blk_live = (v.bs <= s) & blk_valid & (v.bnt > 0)
+        em3 = blk_live[:, None, None] & v.row_m[:, :, None] & v.col_m[:, None, :]
         return any_valid, det_valid, det_live, blk_valid, blk_live, em3
 
-    def step_losses(logits_d, logits_e, det_live, blk_live, em3):
+    def step_losses(logits_d, logits_e, det_live, blk_live, em3, v):
         """Targets + CE + BCE + F1 for one step from MASKED logits; shared by
         the in-scan path and the deferred (vmapped-over-steps) path."""
         t_d, t_e, l_ce = _block_targets_and_ce(
-            logits_d, logits_e, bb, st, det_live, blk_live, row_m,
-            col_m, em3)
+            logits_d, logits_e, bb.det_label, v.act, v.bna, v.bnt, v.st,
+            det_live, blk_live, v.row_m, v.col_m, em3)
         scores_d = jnp.where(det_live, jax.nn.sigmoid(logits_d), 0.0)
         scores_e = jnp.where(em3, jax.nn.sigmoid(logits_e), 0.0)
         no_mask_d = jnp.zeros_like(det_live)
@@ -634,21 +700,23 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
               + jnp.sum(me & ~pred_e & (t_e == 1)))
         return l_ce, l_f, tp, fp, fn
 
-    def step(carry, s):
+    def make_step(v):
+      P = v.act.shape[0]
+
+      def step(carry, s):
         h_d, h_e, stats = carry
-        sv = bb.step_valid[s]                       # [B]
         any_valid, det_valid, det_live, blk_valid, blk_live, em3 = \
-            live_masks(s)
+            live_masks(s, v)
         det_new = (bb.det_step == s) & det_valid
-        blk_new = (blk_step == s) & blk_valid
-        act_m1 = (blk_live[:, None] & row_m).reshape(-1)
+        blk_new = (v.bs == s) & blk_valid
+        act_m1 = (blk_live[:, None] & v.row_m).reshape(-1)
         vm = jnp.concatenate([act_m1,
-                              (blk_live[:, None] & col_m).reshape(-1)])
+                              (blk_live[:, None] & v.col_m).reshape(-1)])
         m3 = em3.astype(jnp.float32) if use_fused else None
         rng_s = jax.random.fold_in(rng, s) if rng is not None else None
 
         n_phantom = (None if hoist_bn else
-                     jnp.sum(jnp.where(blk_new, bb.blk_na * bb.blk_nt, 0)))
+                     jnp.sum(jnp.where(blk_new, v.bna * v.bnt, 0)))
 
         hd_parts, he_parts, lg_parts, stats_new = [], [], [], []
         for bi in range(nb):
@@ -691,8 +759,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                     ga_d = gb_d = nn.matmul_lp(h_d_b, eg["w_ih"],
                                                compute_dtype)
                     sgn = -1.0
-                ga = ga_d[bb.active_idx] + eg["b_ih"]
-                gb = gb_d[bb.newdet_idx]
+                ga = ga_d[v.act] + eg["b_ih"]
+                gb = gb_d[v.new]
                 if (compute_dtype is not None
                         and os.environ.get("TM_GAB_F32", "") != "1"):
                     # stream the input gates at half the HBM bytes; the
@@ -711,8 +779,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                 # broadcast-gate chain (measured 28.1 vs 34.9 ms/step)
                 h_e_b = jnp.where(em3[..., None], h_e_sl,
                                   jnp.zeros((), h_e.dtype))
-                ha = h_d_b[bb.active_idx]               # [BT, na, H]
-                hn = h_d_b[bb.newdet_idx]               # [BT, nt, H]
+                ha = h_d_b[v.act]                       # [P, na, H]
+                hn = h_d_b[v.new]                       # [P, nt, H]
                 if cfg.msg_type == "concat":
                     ns = jnp.concatenate([
                         jnp.broadcast_to(ha[:, :, None, :], em3.shape + (H,)),
@@ -733,9 +801,9 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                 # attention weights are zero at padded entries, so the raw
                 # rectangle is safe when the fused round skipped the mask
                 h_e_att = h_e_sl if use_fused else h_e_b
-                es = _block_gat_support(bp["gat"], h_d_b, h_e_att, bb, em3,
-                                        seg, vm, nD, rng_sb, train,
-                                        fused=use_fused, m3=m3,
+                es = _block_gat_support(bp["gat"], h_d_b, h_e_att, v.act,
+                                        v.new, em3, v.seg, vm, nD, rng_sb,
+                                        train, fused=use_fused, m3=m3,
                                         interp=interp if use_fused else False)
             else:
                 if not use_fused:
@@ -743,7 +811,7 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                     rs = jnp.sum(h_e_b, axis=2)
                     cs = jnp.sum(h_e_b, axis=1)
                 vals = jnp.concatenate([rs.reshape(-1, H), -cs.reshape(-1, H)])
-                es = segment_sum(vals, seg, nD, mask=vm)
+                es = segment_sum(vals, v.seg, nD, mask=vm)
             node_out = nn.gru_cell(bp["node_gru"], es, h_d_b,
                                    dtype=compute_dtype)
             hd_parts.append(jnp.where(det_live[:, None], node_out, 0.0))
@@ -776,13 +844,14 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
             # (ops/pallas_loss.py); the detection side stays XLA (nD-sized)
             partials = edge_losses(
                 h_e_out, params["out_edge"]["w"],
-                params["out_edge"]["b"].reshape(1, 1), lblm, m3, ebnt, bna,
-                bb.active_idx, act_m1, nD, PL_G, interp)
+                params["out_edge"]["b"].reshape(1, 1), lblm_sm[:P], m3,
+                ebnt_sm[:P], bna_f_sm[:P], v.act, act_m1, nD, PL_G, interp)
             l_ce = jnp.sum(partials[:, 0] + partials[:, 1])
             t_d = ((bb.det_label == 1) & det_live).astype(jnp.int32)
             scores_d = jnp.where(det_live, jax.nn.sigmoid(logits_d), 0.0)
-            e_sum = jnp.sum(partials[:, 2].reshape(B, -1), axis=1)
-            e_cnt = jnp.sum(partials[:, 3].reshape(B, -1), axis=1)
+            # step-major: block q belongs to window q mod B
+            e_sum = jnp.sum(partials[:, 2].reshape(-1, B), axis=0)
+            e_cnt = jnp.sum(partials[:, 3].reshape(-1, B), axis=0)
             l_f = -jnp.sum(e_sum / jnp.maximum(e_cnt, 1.0))
             tp = jnp.sum(partials[:, 4]).astype(jnp.int32)
             fp = jnp.sum(partials[:, 5]).astype(jnp.int32)
@@ -807,7 +876,7 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                 logits_e = jnp.where(em3, logits_e, 0.0)
 
             l_ce, l_f, tp, fp, fn = step_losses(logits_d, logits_e,
-                                                det_live, blk_live, em3)
+                                                det_live, blk_live, em3, v)
 
         h_d_next = jnp.where(det_valid[:, None], h_d_out, h_d)
         h_e_next = jnp.where(blk_valid[:, None, None, None], h_e_out,
@@ -819,33 +888,71 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
             jnp.where(any_valid, l_ce, zero), jnp.where(any_valid, l_f, zero),
             tp, fp, fn)
 
-    body = jax.checkpoint(step) if remat else step
+      return step
+
+    # ---- run the prefix segments ----
+    h_d, h_e, stats = h_d0, None, batch_stats
+    seg_outs = []
+    for lo, hi in segs:
+        P = hi * B
+        v = seg_view(P)
+        if h_e is None:
+            h_e = jnp.zeros((P, na_cap, nt_cap, nb * H),
+                            compute_dtype or jnp.float32)
+            if axis_name is not None:
+                h_e = jax.lax.pcast(h_e, (axis_name,), to="varying")
+        elif P > h_e.shape[0]:
+            # new blocks enter with zero hidden state: pad the carry
+            h_e = jnp.pad(h_e, ((0, P - h_e.shape[0]), (0, 0), (0, 0),
+                                (0, 0)))
+        body = make_step(v)
+        body = jax.checkpoint(body) if remat else body
+        (h_d, h_e, stats), out = jax.lax.scan(
+            body, (h_d, h_e, stats), jnp.arange(lo, hi))
+        seg_outs.append((lo, hi, v, out))
+    h_d_fin, stats_fin = h_d, stats
+    # hand back the final edge hidden in the window-major block order the
+    # BlockBatch uses (one small gather, outside the hot loop)
+    iperm = jnp.arange(B * T, dtype=jnp.int32).reshape(T, B).T.reshape(-1)
+    h_e_fin = h_e[iperm]
+
+    zero = jnp.float32(0.0)
+    l_ce = l_f = zero
+    tp = fp = fn = jnp.int32(0)
     if defer_loss:
-        (h_d_fin, h_e_fin, stats_fin), (hd_T, le_T) = jax.lax.scan(
-            body, (h_d0, h_e0, batch_stats), jnp.arange(T))
-        # one batched head matmul over all steps, then the loss side vmapped
-        # over the step axis: every fusion launches once on [T, ...] arrays
-        ld_T = nn.linear(params["out_node"], hd_T)[..., 0]     # [T, nD]
+        for lo, hi, v, (hd_k, le_k) in seg_outs:
+            # one batched head matmul over the segment's steps, then the
+            # loss side vmapped over the step axis: every fusion launches
+            # once per segment on [T_k, ...] arrays instead of T times
+            ld_k = nn.linear(params["out_node"], hd_k)[..., 0]  # [T_k, nD]
 
-        def loss_at(s, logits_d, logits_e):
-            any_valid, _, det_live, _, blk_live, em3 = live_masks(s)
-            logits_d = jnp.where(det_live, logits_d, 0.0)
-            logits_e = jnp.where(em3, logits_e.astype(jnp.float32), 0.0)
-            l_ce, l_f, tp, fp, fn = step_losses(logits_d, logits_e,
-                                                det_live, blk_live, em3)
-            zero = jnp.float32(0.0)
-            return (jnp.where(any_valid, l_ce, zero),
-                    jnp.where(any_valid, l_f, zero), tp, fp, fn)
+            def loss_at(s, logits_d, logits_e, v=v):
+                any_valid, _, det_live, _, blk_live, em3 = live_masks(s, v)
+                logits_d = jnp.where(det_live, logits_d, 0.0)
+                logits_e = jnp.where(em3, logits_e.astype(jnp.float32), 0.0)
+                a, b, c, d, e = step_losses(logits_d, logits_e, det_live,
+                                            blk_live, em3, v)
+                return (jnp.where(any_valid, a, zero),
+                        jnp.where(any_valid, b, zero), c, d, e)
 
-        l_ce, l_f, tp, fp, fn = jax.vmap(loss_at)(
-            jnp.arange(T), ld_T, le_T)
+            lc_k, lf_k, tp_k, fp_k, fn_k = jax.vmap(loss_at)(
+                jnp.arange(lo, hi), ld_k, le_k)
+            l_ce = l_ce + jnp.sum(lc_k)
+            l_f = l_f + jnp.sum(lf_k)
+            tp = tp + jnp.sum(tp_k)
+            fp = fp + jnp.sum(fp_k)
+            fn = fn + jnp.sum(fn_k)
     else:
-        (h_d_fin, h_e_fin, stats_fin), (l_ce, l_f, tp, fp, fn) = jax.lax.scan(
-            body, (h_d0, h_e0, batch_stats), jnp.arange(T))
-    total = (jnp.sum(l_ce) + jnp.sum(l_f)) / B
+        for lo, hi, v, (lc_k, lf_k, tp_k, fp_k, fn_k) in seg_outs:
+            l_ce = l_ce + jnp.sum(lc_k)
+            l_f = l_f + jnp.sum(lf_k)
+            tp = tp + jnp.sum(tp_k)
+            fp = fp + jnp.sum(fp_k)
+            fn = fn + jnp.sum(fn_k)
+    total = (l_ce + l_f) / B
     aux = {
-        "loss_ce": jnp.sum(l_ce) / B, "loss_f": jnp.sum(l_f) / B,
-        "tp": jnp.sum(tp), "fp": jnp.sum(fp), "fn": jnp.sum(fn),
+        "loss_ce": l_ce / B, "loss_f": l_f / B,
+        "tp": tp, "fp": fp, "fn": fn,
         "batch_stats": stats_fin_h if hoist_bn else stats_fin,
         "hidden": (h_d_fin, h_e_fin),
     }
