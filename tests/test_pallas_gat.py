@@ -174,3 +174,130 @@ def test_gat_aggregate_grads(dropout):
                            "dhe"]):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+# ---------------------------------------------------------- round-4 kernels --
+# Stacked-head (_mh) kernels == per-head single-head kernels, values + VJP.
+def _mh_inputs(rng, nh, BT=9, na=8, nt=8, H=16):
+    has, hns, aas = [], [], []
+    _, _, _, m = make_inputs(rng, BT, na, nt, H)
+    for _ in range(nh):
+        ha, hn, a, _ = make_inputs(rng, BT, na, nt, H)
+        has.append(ha)
+        hns.append(hn)
+        aas.append(a)
+    return (jnp.concatenate(has, -1), jnp.concatenate(hns, -1),
+            jnp.concatenate(aas, 0), m, has, hns, aas)
+
+
+@pytest.mark.parametrize("nh", [1, 3])
+def test_gat_scores_stats_mh_matches_per_head(nh):
+    from trackmpnn_tpu.ops.pallas_gat import (gat_scores_stats,
+                                              gat_scores_stats_mh)
+
+    rng = np.random.default_rng(10 + nh)
+    ha_s, hn_s, a_s, m, has, hns, aas = _mh_inputs(rng, nh)
+    e, rmax, cmax, sal, sbl = gat_scores_stats_mh(ha_s, hn_s, a_s, m,
+                                                  ALPHA, nh, 4, True)
+    for h in range(nh):
+        eh, rh, ch, sah, sbh = gat_scores_stats(has[h], hns[h], aas[h], m,
+                                                ALPHA, 4, True)
+        np.testing.assert_allclose(np.asarray(e[:, h]), np.asarray(eh),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rmax[:, h]), np.asarray(rh),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cmax[:, h]), np.asarray(ch),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sal[:, h]), np.asarray(sah),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sbl[:, h]), np.asarray(sbh),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("nh", [2])
+def test_gat_scores_stats_mh_grads(nh):
+    from trackmpnn_tpu.ops.pallas_gat import (gat_scores_stats,
+                                              gat_scores_stats_mh)
+
+    rng = np.random.default_rng(20)
+    ha_s, hn_s, a_s, m, has, hns, aas = _mh_inputs(rng, nh, BT=7)
+    k = jax.random.key(3)
+    H = has[0].shape[-1]
+    na, nt = m.shape[1], m.shape[2]
+    we = jax.random.normal(k, (m.shape[0], nh, na, nt))
+    wa = jax.random.normal(jax.random.fold_in(k, 1), (m.shape[0], nh, na))
+    wb = jax.random.normal(jax.random.fold_in(k, 2), (m.shape[0], nh, nt))
+
+    def loss_mh(ha_s, hn_s, a_s):
+        e, rmax, cmax, sal, sbl = gat_scores_stats_mh(
+            ha_s, hn_s, a_s, m, ALPHA, nh, 4, True)
+        return (jnp.sum(e * we) + jnp.sum(sal * wa) + jnp.sum(sbl * wb))
+
+    def loss_ph(ha_s, hn_s, a_s):
+        tot = 0.0
+        for h in range(nh):
+            e, rmax, cmax, sal, sbl = gat_scores_stats(
+                ha_s[..., h * H:(h + 1) * H], hn_s[..., h * H:(h + 1) * H],
+                a_s[h * H:(h + 1) * H], m, ALPHA, 4, True)
+            tot += (jnp.sum(e * we[:, h]) + jnp.sum(sal * wa[:, h])
+                    + jnp.sum(sbl * wb[:, h]))
+        return tot
+
+    g_m = jax.grad(loss_mh, argnums=(0, 1, 2))(ha_s, hn_s, a_s)
+    g_p = jax.grad(loss_ph, argnums=(0, 1, 2))(ha_s, hn_s, a_s)
+    for x, y, name in zip(g_m, g_p, ["dha", "dhn", "da"]):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("nh,keep", [(1, 1.0), (3, 1.0), (2, 0.5)])
+def test_gat_aggregate_mh_matches_per_head(nh, keep):
+    from trackmpnn_tpu.ops.pallas_gat import gat_aggregate, gat_aggregate_mh
+
+    rng = np.random.default_rng(30 + nh)
+    BT, na, nt, H = 7, 8, 8, 16
+    _, _, _, m = make_inputs(rng, BT, na, nt, H)
+    e = jnp.asarray(rng.normal(size=(BT, nh, na, nt)).astype(np.float32))
+    mr = jnp.asarray(rng.normal(size=(BT, nh, na)).astype(np.float32))
+    mc = jnp.asarray(rng.normal(size=(BT, nh, nt)).astype(np.float32))
+    zr = jnp.asarray(rng.uniform(0.5, 2.0, size=(BT, nh, na)).astype(np.float32))
+    zc = jnp.asarray(rng.uniform(0.5, 2.0, size=(BT, nh, nt)).astype(np.float32))
+    he = jnp.asarray(rng.normal(size=(BT, na, nt, H)).astype(np.float32))
+    ka = jnp.asarray((rng.random((BT, nh, na, nt)) < keep).astype(np.float32))
+    kn = jnp.asarray((rng.random((BT, nh, na, nt)) < keep).astype(np.float32))
+
+    def agg_mh(e, mr, mc, zr, zc, he):
+        return gat_aggregate_mh(e, mr, mc, zr, zc, he, m, ka, kn, keep,
+                                nh, 4, True)
+
+    def agg_ph(e, mr, mc, zr, zc, he):
+        rs = cs = 0.0
+        for h in range(nh):
+            r, c = gat_aggregate(e[:, h], mr[:, h], mc[:, h], zr[:, h],
+                                 zc[:, h], he, m, ka[:, h], kn[:, h],
+                                 keep, 4, True)
+            rs = rs + r
+            cs = cs + c
+        return rs, cs
+
+    got = agg_mh(e, mr, mc, zr, zc, he)
+    want = agg_ph(e, mr, mc, zr, zc, he)
+    for x, y, name in zip(got, want, ["rs", "cs"]):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=2e-5, err_msg=name)
+
+    k = jax.random.key(9)
+    wr = jax.random.normal(k, got[0].shape)
+    wc = jax.random.normal(jax.random.fold_in(k, 1), got[1].shape)
+
+    def scal(f):
+        def g(*xs):
+            rs, cs = f(*xs)
+            return jnp.sum(rs * wr) + jnp.sum(cs * wc)
+        return g
+
+    g_m = jax.grad(scal(agg_mh), argnums=(0, 1, 2, 3, 4, 5))(e, mr, mc, zr, zc, he)
+    g_p = jax.grad(scal(agg_ph), argnums=(0, 1, 2, 3, 4, 5))(e, mr, mc, zr, zc, he)
+    for x, y, name in zip(g_m, g_p, ["de", "dmr", "dmc", "dzr", "dzc", "dhe"]):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)

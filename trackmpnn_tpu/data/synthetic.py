@@ -165,3 +165,134 @@ def features_2d(bbox_pred: np.ndarray, ncategories: int) -> np.ndarray:
     mean = np.array([0.5] * ncategories + [0.85, IM_W / 2, IM_H / 2, 80.0, 55.0], np.float32)
     std = np.array([0.5] * ncategories + [0.15, IM_W / 4, IM_H / 8, 60.0, 40.0], np.float32)
     return (feats - mean) / std
+
+
+# --------------------------------------------------------------------------
+# Appearance-relevant synthetic MOT (round 4, BASELINE config 5 evidence).
+#
+# make_sequence's linear tracks are separable from 2d geometry alone, so a
+# `2d` model saturates and visual features cannot show their worth.  This
+# generator builds CROSSING track pairs with an occlusion gap at the
+# crossing: the pair shares one box size and swaps sides mid-sequence
+# while one member's detections are dropped for `gap` frames around the
+# cross, so geometric matching faces a genuinely ambiguous re-association
+# (straight-through vs bounce-back cost the same) that only appearance -
+# each identity carries a distinct texture rendered into the frames -
+# can disambiguate (the reference's motivation for `vis` feats,
+# /root/reference/dataset/kitti_mot.py:119-132).
+
+
+def make_crossing_sequence(
+    num_pairs: int = 3,
+    num_frames: int = 24,
+    seed: int = 0,
+    noise: float = 1.0,
+    gap: int = 2,
+    miss_rate: float = 0.02,
+):
+    """Crossing-pair tracks.  Returns (bbox_pred, bbox_gt, colors[T,3])."""
+    rng = np.random.default_rng(seed)
+    T = 2 * num_pairs
+    pred_rows, gt_rows = [], []
+    # distinct, saturated per-identity colors (fixed hue walk)
+    colors = np.zeros((T, 3), np.uint8)
+    for k in range(T):
+        h = (0.137 + k * 0.618034) % 1.0
+        i = int(h * 6)
+        f = h * 6 - i
+        v, p, q, t = 255, 40, int(255 - 215 * f), int(40 + 215 * f)
+        colors[k] = [(v, t, p), (q, v, p), (p, v, t),
+                     (p, q, v), (t, p, v), (v, p, q)][i % 6]
+
+    y_rows = np.linspace(90, IM_H - 90, num_pairs)
+    for pk in range(num_pairs):
+        a, b = 2 * pk, 2 * pk + 1
+        w = float(rng.uniform(60, 90))
+        h = float(rng.uniform(45, 70))
+        y = float(y_rows[pk] + rng.uniform(-10, 10))
+        x_lo, x_hi = 140.0, IM_W - 140.0
+        cross = num_frames // 2 + int(rng.integers(-2, 3))
+        vx = (x_hi - x_lo) / (num_frames - 1)
+        occ_lo, occ_hi = cross - gap, cross + gap
+        for fr in range(num_frames):
+            xa = x_lo + vx * fr          # a: left -> right
+            xb = x_hi - vx * fr          # b: right -> left
+            for tid, xc in ((a, xa), (b, xb)):
+                box = [xc - w / 2, y - h / 2, xc + w / 2, y + h / 2]
+                gt_rows.append([fr, tid, 2, 0.0, *box,
+                                -1, -1, -1, -1000, -1000, -1000, -10, 1.0])
+                occluded = tid == a and occ_lo <= fr <= occ_hi
+                if occluded or rng.random() < miss_rate:
+                    continue
+                nb = [c + rng.normal(0, noise) for c in box]
+                score = float(np.clip(rng.normal(0.92, 0.04), 0.6, 1.0))
+                pred_rows.append([fr, tid, 2, -10.0, *nb, -1, -1, -1,
+                                  -1000, -1000, -1000, -10, score])
+    bbox_pred = np.array(pred_rows, np.float32)
+    bbox_gt = np.array(gt_rows, np.float32)
+    order = np.argsort(bbox_pred[:, 0], kind="stable")
+    return bbox_pred[order], bbox_gt, colors
+
+
+def render_frame(bbox_gt_fr, track_ids, colors, w=IM_W, h=IM_H):
+    """Draw per-identity textured boxes (flat color + id-striped band)."""
+    from PIL import Image, ImageDraw
+
+    im = Image.new("RGB", (w, h), (96, 96, 96))
+    dr = ImageDraw.Draw(im)
+    for row, tid in zip(bbox_gt_fr, track_ids):
+        x1, y1, x2, y2 = [int(v) for v in row[4:8]]
+        c = tuple(int(v) for v in colors[int(tid) % len(colors)])
+        dr.rectangle([x1, y1, x2, y2], fill=c)
+        # identity stripes: phase/period keyed on the id so even similar
+        # hues stay separable to a learned embedding
+        period = 6 + (int(tid) % 5)
+        for sx in range(x1, x2, period):
+            dr.line([sx, y1, sx, y2], fill=(255 - c[0], 255 - c[1],
+                                            255 - c[2]), width=1)
+    return im
+
+
+def write_kitti_tree_appearance(
+    root: str,
+    num_seqs: int = 21,
+    num_frames: int = 24,
+    num_pairs: int = 3,
+    seed: int = 0,
+    split_dir: str = "training",
+    detections: str = "rrc",
+    gap: int = 2,
+):
+    """KITTI tree whose frames carry per-identity textures (config-5
+    evidence harness: the same tree trains `2d` and `2d+vis` models)."""
+    import os
+
+    for s in range(num_seqs):
+        seq = "%04d" % s
+        imdir = os.path.join(root, split_dir, "image_02", seq)
+        detdir = os.path.join(root, split_dir, f"{detections}_detections", seq)
+        os.makedirs(imdir, exist_ok=True)
+        os.makedirs(detdir, exist_ok=True)
+        bbox_pred, bbox_gt, colors = make_crossing_sequence(
+            num_pairs=num_pairs, num_frames=num_frames, seed=seed + 7 * s,
+            gap=gap)
+        label_lines = []
+        for fr in range(num_frames):
+            gt_fr = bbox_gt[bbox_gt[:, 0] == fr]
+            im = render_frame(gt_fr, gt_fr[:, 1], colors)
+            im.save(os.path.join(imdir, "%.6d.png" % fr))
+            with open(os.path.join(detdir, "%.4d.txt" % fr), "w") as f:
+                for b in bbox_pred[bbox_pred[:, 0] == fr]:
+                    name = CAT_NAMES[int(b[2])]
+                    f.write(f"{name},{b[4]:.2f},{b[5]:.2f},{b[6]:.2f},"
+                            f"{b[7]:.2f},{b[15]:.3f}\n")
+            for b in gt_fr:
+                name = CAT_NAMES[int(b[2])]
+                label_lines.append(
+                    f"{fr} {int(b[1])} {name} 0 0 {b[3]:.2f} {b[4]:.2f} "
+                    f"{b[5]:.2f} {b[6]:.2f} {b[7]:.2f} 1.5 1.6 3.7 1.0 1.0 "
+                    f"10.0 0.1")
+        labdir = os.path.join(root, split_dir, "label_02")
+        os.makedirs(labdir, exist_ok=True)
+        with open(os.path.join(labdir, seq + ".txt"), "w") as f:
+            f.write("\n".join(label_lines) + "\n")

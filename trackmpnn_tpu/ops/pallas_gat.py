@@ -430,3 +430,295 @@ def reference_gat_aggregate(e, m_row, m_col, z_row, z_col, h_e, mask3, ka,
     he = h_e.astype(jnp.float32)
     return (jnp.sum(att_a[..., None] * he, axis=2),
             jnp.sum(att_n[..., None] * he, axis=1))
+
+
+# --------------------------------------------------------------------------
+# Round-4 extension: ALL heads in one launch.
+#
+# The per-head Python loop in train/block.py cost 2 kernel launches per
+# head per step (scores_stats + aggregate, each ~0.2 ms of fixed launch/
+# grid overhead on this toolchain) plus per-head gathers and segment ops.
+# The _mh kernels stack the heads inside one grid pass:
+#
+#   * ha/hn arrive with the heads CONCATENATED on the feature dim
+#     [BT, na, nh*H] (one detection-layout matmul + one gather for all
+#     heads); scores/stats come back stacked on a sublane axis
+#     [BT, nh, na, nt];
+#   * the aggregate kernel emits rs/cs already SUMMED over heads (the
+#     caller divides by nh) - the downstream segment_sum runs once, not
+#     per head - while the softmax stats keep their per-head identity
+#     ([BT, nh, ...]) because the normalizers differ per head.
+#
+# Dropout keep-masks arrive as [BT, nh(or 1), na, nt]; a size-1 head axis
+# broadcasts inside the kernel (used for the keep=1.0 eval path, where the
+# mask is ignored numerically but shapes must still bind).
+def _mh_stats_fwd_kernel(ha_ref, hn_ref, a_ref, m_ref,
+                         e_ref, rmax_ref, cmax_ref, sal_ref, sbl_ref,
+                         *, alpha, nh):
+    G, na, HH = ha_ref.shape
+    H = HH // nh
+    nt = hn_ref.shape[1]
+    m3 = m_ref[:]
+    for h in range(nh):
+        ha = ha_ref[:, :, h * H:(h + 1) * H]
+        hn = hn_ref[:, :, h * H:(h + 1) * H]
+        diff = jnp.abs(ha[:, :, None, :] - hn[:, None, :, :])
+        pre = jnp.dot(diff.reshape(G * na * nt, H),
+                      a_ref[h * H:(h + 1) * H],
+                      preferred_element_type=jnp.float32).reshape(G, na, nt)
+        pre = pre * m3
+        e = jnp.where(pre >= 0.0, pre, alpha * pre)
+        e_ref[:, h, :, :] = e
+        e_m = jnp.where(m3 > 0.0, e, NEG_SCORE)
+        rmax = jnp.max(e_m, axis=2)
+        cmax = jnp.max(e_m, axis=1)
+        rmax_ref[:, h, :] = rmax
+        cmax_ref[:, h, :] = cmax
+        sal_ref[:, h, :] = jnp.sum(m3 * jnp.exp(e_m - rmax[:, :, None]), axis=2)
+        sbl_ref[:, h, :] = jnp.sum(m3 * jnp.exp(e_m - cmax[:, None, :]), axis=1)
+
+
+def _mh_stats_bwd_kernel(ha_ref, hn_ref, a_ref, m_ref, ge_ref, gsal_ref,
+                         gsbl_ref, dha_ref, dhn_ref, da_ref, *, alpha, nh):
+    G, na, HH = ha_ref.shape
+    H = HH // nh
+    nt = hn_ref.shape[1]
+    m3 = m_ref[:]
+    for h in range(nh):
+        ha = ha_ref[:, :, h * H:(h + 1) * H]
+        hn = hn_ref[:, :, h * H:(h + 1) * H]
+        a_h = a_ref[h * H:(h + 1) * H]
+        d = ha[:, :, None, :] - hn[:, None, :, :]
+        adiff = jnp.abs(d)
+        pre = jnp.dot(adiff.reshape(G * na * nt, H), a_h,
+                      preferred_element_type=jnp.float32).reshape(G, na, nt)
+        pre_m = pre * m3
+        e = jnp.where(pre_m >= 0.0, pre_m, alpha * pre_m)
+        e_m = jnp.where(m3 > 0.0, e, NEG_SCORE)
+        rmax = jnp.max(e_m, axis=2)
+        cmax = jnp.max(e_m, axis=1)
+        de = (ge_ref[:, h, :, :]
+              + gsal_ref[:, h, :][:, :, None] * m3
+              * jnp.exp(e_m - rmax[:, :, None])
+              + gsbl_ref[:, h, :][:, None, :] * m3
+              * jnp.exp(e_m - cmax[:, None, :]))
+        dpre = de * jnp.where(pre_m >= 0.0, 1.0, alpha) * m3
+        t = dpre[..., None] * jnp.sign(d) * a_h.reshape(1, 1, 1, H)
+        dha_ref[:, :, h * H:(h + 1) * H] = jnp.sum(t, axis=2)
+        dhn_ref[:, :, h * H:(h + 1) * H] = -jnp.sum(t, axis=1)
+        da = jnp.sum((adiff * dpre[..., None]).reshape(G * na * nt, H),
+                     axis=0, keepdims=True)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init(h=h, da=da):
+            da_ref[:, h * H:(h + 1) * H] = da
+
+        @pl.when(pl.program_id(0) > 0)
+        def _acc(h=h, da=da):
+            da_ref[:, h * H:(h + 1) * H] += da
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def gat_scores_stats_mh(ha, hn, a, mask3, alpha, nh, g=DEFAULT_G,
+                        interpret=False):
+    """Stacked-head (e, rmax, cmax, sa_l, sb_l) in ONE kernel launch.
+
+    ha f32 [BT,na,nh*H] / hn f32 [BT,nt,nh*H] with heads concatenated on
+    the feature dim; a f32 [nh*H,1] stacked per-head score vectors; mask3
+    f32 [BT,na,nt].  Returns e [BT,nh,na,nt], rmax/sa_l [BT,nh,na],
+    cmax/sb_l [BT,nh,nt] - per-head semantics identical to
+    gat_scores_stats (rmax/cmax are shift constants: stop_gradient them).
+    """
+    out, _ = _mh_stats_fwd(ha, hn, a, mask3, alpha, nh, g, interpret)
+    return out
+
+
+def _mh_stats_fwd(ha, hn, a, mask3, alpha, nh, g, interpret):
+    BT, na, HH = ha.shape
+    nt = hn.shape[1]
+    bt_pad = -(-BT // g) * g
+    ha_p, hn_p, m_p = (_pad_bt(x, bt_pad) for x in (ha, hn, mask3))
+    kernel = functools.partial(_mh_stats_fwd_kernel, alpha=alpha, nh=nh)
+    e, rmax, cmax, sal, sbl = pl.pallas_call(
+        kernel,
+        grid=(bt_pad // g,),
+        in_specs=_specs([ha_p.shape, hn_p.shape], g)
+        + [_const_spec(a.shape)] + _specs([m_p.shape], g),
+        out_specs=tuple(_specs([(bt_pad, nh, na, nt), (bt_pad, nh, na),
+                                (bt_pad, nh, nt), (bt_pad, nh, na),
+                                (bt_pad, nh, nt)], g)),
+        out_shape=(
+            jax.ShapeDtypeStruct((bt_pad, nh, na, nt), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, nh, na), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, nh, nt), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, nh, na), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, nh, nt), jnp.float32),
+        ),
+        interpret=interpret,
+    )(ha_p, hn_p, a, m_p)
+    out = (e[:BT], rmax[:BT], cmax[:BT], sal[:BT], sbl[:BT])
+    return out, (ha, hn, a, mask3)
+
+
+def _mh_stats_bwd(alpha, nh, g, interpret, res, grads):
+    ha, hn, a, mask3 = res
+    ge, _grmax, _gcmax, gsal, gsbl = grads
+    BT, na, HH = ha.shape
+    nt = hn.shape[1]
+    bt_pad = -(-BT // g) * g
+    ha_p, hn_p, m_p, ge_p, gsal_p, gsbl_p = (
+        _pad_bt(x, bt_pad) for x in (ha, hn, mask3, ge, gsal, gsbl))
+    kernel = functools.partial(_mh_stats_bwd_kernel, alpha=alpha, nh=nh)
+    dha, dhn, da = pl.pallas_call(
+        kernel,
+        grid=(bt_pad // g,),
+        in_specs=_specs([ha_p.shape, hn_p.shape], g)
+        + [_const_spec(a.shape)]
+        + _specs([m_p.shape, ge_p.shape, gsal_p.shape, gsbl_p.shape], g),
+        out_specs=tuple(_specs([(bt_pad, na, HH), (bt_pad, nt, HH)], g)
+                        + [_const_spec((1, HH))]),
+        out_shape=(
+            jax.ShapeDtypeStruct((bt_pad, na, HH), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, nt, HH), jnp.float32),
+            jax.ShapeDtypeStruct((1, HH), jnp.float32),
+        ),
+        interpret=interpret,
+    )(ha_p, hn_p, a, m_p, ge_p, gsal_p, gsbl_p)
+    return dha[:BT], dhn[:BT], da.T, jnp.zeros_like(mask3)
+
+
+gat_scores_stats_mh.defvjp(_mh_stats_fwd, _mh_stats_bwd)
+
+
+def _mh_agg_fwd_kernel(e_ref, mr_ref, mc_ref, zr_ref, zc_ref, he_ref, m_ref,
+                       ka_ref, kn_ref, rs_ref, cs_ref, *, keep, nh):
+    he = he_ref[:].astype(jnp.float32)
+    m3 = m_ref[:]
+    ka_nh = ka_ref.shape[1]
+    for h in range(nh):
+        ka = ka_ref[:, h if ka_nh > 1 else 0, :, :] if keep < 1.0 else None
+        kn = kn_ref[:, h if ka_nh > 1 else 0, :, :] if keep < 1.0 else None
+        att_a, att_n = _att_rect(e_ref[:, h, :, :], mr_ref[:, h, :],
+                                 mc_ref[:, h, :], zr_ref[:, h, :],
+                                 zc_ref[:, h, :], m3, ka, kn, keep)
+        rs = jnp.sum(att_a[..., None] * he, axis=2)
+        cs = jnp.sum(att_n[..., None] * he, axis=1)
+        if h == 0:
+            rs_ref[:] = rs
+            cs_ref[:] = cs
+        else:
+            rs_ref[:] += rs
+            cs_ref[:] += cs
+
+
+def _mh_agg_bwd_kernel(e_ref, mr_ref, mc_ref, zr_ref, zc_ref, he_ref, m_ref,
+                       ka_ref, kn_ref, grs_ref, gcs_ref,
+                       de_ref, dmr_ref, dmc_ref, dzr_ref, dzc_ref, dhe_ref,
+                       *, keep, nh):
+    he = he_ref[:].astype(jnp.float32)
+    m3 = m_ref[:]
+    grs = grs_ref[:]
+    gcs = gcs_ref[:]
+    # head-independent inner products (the heads' rs/cs were summed)
+    datt_a = jnp.sum(grs[:, :, None, :] * he, axis=-1)   # [G, na, nt]
+    datt_n = jnp.sum(gcs[:, None, :, :] * he, axis=-1)
+    ka_nh = ka_ref.shape[1]
+    for h in range(nh):
+        ka = ka_ref[:, h if ka_nh > 1 else 0, :, :] if keep < 1.0 else None
+        kn = kn_ref[:, h if ka_nh > 1 else 0, :, :] if keep < 1.0 else None
+        att_a, att_n = _att_rect(e_ref[:, h, :, :], mr_ref[:, h, :],
+                                 mc_ref[:, h, :], zr_ref[:, h, :],
+                                 zc_ref[:, h, :], m3, ka, kn, keep)
+        pa = datt_a * att_a
+        pn = datt_n * att_n
+        de_ref[:, h, :, :] = pa + pn
+        s_a = jnp.sum(pa, axis=2)
+        s_n = jnp.sum(pn, axis=1)
+        dmr_ref[:, h, :] = -s_a
+        dmc_ref[:, h, :] = -s_n
+        dzr_ref[:, h, :] = -s_a / jnp.maximum(zr_ref[:, h, :], 1e-30)
+        dzc_ref[:, h, :] = -s_n / jnp.maximum(zc_ref[:, h, :], 1e-30)
+        dhe = (att_a[..., None] * grs[:, :, None, :]
+               + att_n[..., None] * gcs[:, None, :, :])
+        if h == 0:
+            dhe_ref[:] = dhe.astype(dhe_ref.dtype)
+        else:
+            dhe_ref[:] += dhe.astype(dhe_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def gat_aggregate_mh(e, m_row, m_col, z_row, z_col, h_e, mask3, ka, kn,
+                     keep, nh, g=DEFAULT_G, interpret=False):
+    """Head-SUMMED (rs, cs) attention aggregation in ONE kernel launch.
+
+    e f32 [BT,nh,na,nt]; m_row/z_row f32 [BT,nh,na]; m_col/z_col f32
+    [BT,nh,nt]; h_e f32/bf16 [BT,na,nt,H] (shared across heads); ka/kn
+    f32 0/1 dropout keeps [BT,nh,na,nt] (or [BT,1,na,nt] to broadcast;
+    ignored when keep == 1.0).  Returns rs [BT,na,H], cs [BT,nt,H] equal
+    to the SUM over heads of gat_aggregate's outputs (divide by nh for
+    the head mean).
+    """
+    out, _ = _mh_agg_fwd(e, m_row, m_col, z_row, z_col, h_e, mask3, ka, kn,
+                         keep, nh, g, interpret)
+    return out
+
+
+def _mh_agg_fwd(e, m_row, m_col, z_row, z_col, h_e, mask3, ka, kn, keep,
+                nh, g, interpret):
+    BT, na, nt, H = h_e.shape
+    bt_pad = -(-BT // g) * g
+    pads = (_pad_bt(x, bt_pad)
+            for x in (e, m_row, m_col, z_row, z_col, h_e, mask3, ka, kn))
+    e_p, mr_p, mc_p, zr_p, zc_p, he_p, m_p, ka_p, kn_p = pads
+    kernel = functools.partial(_mh_agg_fwd_kernel, keep=keep, nh=nh)
+    rs, cs = pl.pallas_call(
+        kernel,
+        grid=(bt_pad // g,),
+        in_specs=_specs([e_p.shape, mr_p.shape, mc_p.shape, zr_p.shape,
+                         zc_p.shape, he_p.shape, m_p.shape, ka_p.shape,
+                         kn_p.shape], g),
+        out_specs=tuple(_specs([(bt_pad, na, H), (bt_pad, nt, H)], g)),
+        out_shape=(
+            jax.ShapeDtypeStruct((bt_pad, na, H), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, nt, H), jnp.float32),
+        ),
+        interpret=interpret,
+    )(e_p, mr_p, mc_p, zr_p, zc_p, he_p, m_p, ka_p, kn_p)
+    return (rs[:BT], cs[:BT]), (e, m_row, m_col, z_row, z_col, h_e, mask3,
+                                ka, kn)
+
+
+def _mh_agg_bwd(keep, nh, g, interpret, res, grads):
+    e, m_row, m_col, z_row, z_col, h_e, mask3, ka, kn = res
+    g_rs, g_cs = grads
+    BT, na, nt, H = h_e.shape
+    bt_pad = -(-BT // g) * g
+    pads = (_pad_bt(x, bt_pad)
+            for x in (e, m_row, m_col, z_row, z_col, h_e, mask3, ka, kn,
+                      g_rs, g_cs))
+    e_p, mr_p, mc_p, zr_p, zc_p, he_p, m_p, ka_p, kn_p, grs_p, gcs_p = pads
+    kernel = functools.partial(_mh_agg_bwd_kernel, keep=keep, nh=nh)
+    de, dmr, dmc, dzr, dzc, dhe = pl.pallas_call(
+        kernel,
+        grid=(bt_pad // g,),
+        in_specs=_specs([e_p.shape, mr_p.shape, mc_p.shape, zr_p.shape,
+                         zc_p.shape, he_p.shape, m_p.shape, ka_p.shape,
+                         kn_p.shape, grs_p.shape, gcs_p.shape], g),
+        out_specs=tuple(_specs([(bt_pad, nh, na, nt), (bt_pad, nh, na),
+                                (bt_pad, nh, nt), (bt_pad, nh, na),
+                                (bt_pad, nh, nt), (bt_pad, na, nt, H)], g)),
+        out_shape=(
+            jax.ShapeDtypeStruct((bt_pad, nh, na, nt), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, nh, na), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, nh, nt), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, nh, na), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, nh, nt), jnp.float32),
+            jax.ShapeDtypeStruct((bt_pad, na, nt, H), h_e.dtype),
+        ),
+        interpret=interpret,
+    )(e_p, mr_p, mc_p, zr_p, zc_p, he_p, m_p, ka_p, kn_p, grs_p, gcs_p)
+    return (de[:BT], dmr[:BT], dmc[:BT], dzr[:BT], dzc[:BT], dhe[:BT],
+            jnp.zeros_like(mask3), jnp.zeros_like(ka), jnp.zeros_like(kn))
+
+
+gat_aggregate_mh.defvjp(_mh_agg_fwd, _mh_agg_bwd)

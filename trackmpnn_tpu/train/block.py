@@ -389,83 +389,107 @@ def _block_gat_support(gat_params, h_d_b, h_e_b, active_idx, newdet_idx, em3,
     (leaky-relu scores from |h_att[past]-h_att[fut]| @ a, softmax per
     endpoint, p=0.5 train-time dropout on the attention weights, signed
     aggregation of incident edge hiddens, mean over heads); the dropout
-    RNG stream differs from the row layout (two draws per head instead of
-    one [2N] draw) - identical in distribution.
+    RNG stream differs from the row layout (fused path: two stacked
+    [BT,nh,na,nt] draws; XLA path: two draws per head, vs the row
+    layout's one [2N] draw) - identical in distribution.
     """
     H = h_d_b.shape[-1]
     NEG = jnp.float32(-1e30)
+    keep = 1.0 - mpnn.ATT_DROPOUT if (train and mpnn.ATT_DROPOUT > 0.0) \
+        else 1.0
     if fused:
+        # Round 4: ALL heads in one stacked pass (ops/pallas_gat.py _mh
+        # kernels) — 2 launches per step total instead of 2 per head, one
+        # gather pair for every head's projections, and ONE segment
+        # max/sum/aggregate-sum for the whole head set.  The whole
+        # attention chain stays in VMEM: scores + local max/exp-sums in
+        # one kernel (two-pass logsumexp; the global normalizer is
+        # assembled from det-sized pieces), att x h_e in the other, so no
+        # score rectangle crosses HBM more than once and the scan stacks
+        # no rectangle residuals.
         from trackmpnn_tpu.ops.pallas_gat import DEFAULT_G as PG_G
-        from trackmpnn_tpu.ops.pallas_gat import (gat_aggregate,
-                                                  gat_scores_stats)
+        from trackmpnn_tpu.ops.pallas_gat import (gat_aggregate_mh,
+                                                  gat_scores_stats_mh)
+        nh = len(gat_params)
+        w_att = jnp.concatenate([hp["W_att"] for hp in gat_params], axis=1)
+        a_att = jnp.concatenate([hp["a"] for hp in gat_params], axis=0)
+        h_att = h_d_b @ w_att                             # [nD, nh*H]
+        ha = h_att[active_idx]                            # [BT, na, nh*H]
+        hn = h_att[newdet_idx]                            # [BT, nt, nh*H]
+        e, rmax, cmax, sal, sbl = gat_scores_stats_mh(
+            ha, hn, a_att, m3, float(mpnn.LEAKY_ALPHA), nh, PG_G, interp)
+        # the shift is value/grad-invariant: stop-grad it (softmax
+        # convention) so no cotangents ride the segment_max argmax
+        rmax = jax.lax.stop_gradient(rmax)                # [BT, nh, na]
+        cmax = jax.lax.stop_gradient(cmax)                # [BT, nh, nt]
+        # per-head segment reductions in ONE op: rows aligned with seg =
+        # [active rows | new cols], heads as the feature dim
+        r_t = jnp.swapaxes(rmax, 1, 2).reshape(-1, nh)
+        c_t = jnp.swapaxes(cmax, 1, 2).reshape(-1, nh)
+        m_d = segment_max(jnp.concatenate([r_t, c_t]), seg, nD,
+                          mask=vm)                        # [nD, nh]
+        safe_m = jnp.where(m_d > NEG / 2, m_d, 0.0)
+        m_row = jnp.swapaxes(safe_m[active_idx], 1, 2)    # [BT, nh, na]
+        m_col = jnp.swapaxes(safe_m[newdet_idx], 1, 2)    # [BT, nh, nt]
+        # exp(NEG - m) underflows to exactly 0 for all-masked rows
+        sa = jnp.exp(rmax - m_row) * sal
+        sb = jnp.exp(cmax - m_col) * sbl
+        z = segment_sum(jnp.concatenate(
+            [jnp.swapaxes(sa, 1, 2).reshape(-1, nh),
+             jnp.swapaxes(sb, 1, 2).reshape(-1, nh)]), seg, nD,
+            mask=vm)                                      # [nD, nh]
+        z_row = jnp.swapaxes(z[active_idx], 1, 2)
+        z_col = jnp.swapaxes(z[newdet_idx], 1, 2)
+        if keep < 1.0:
+            mh_shape = (em3.shape[0], nh) + em3.shape[1:]
+            ka = jax.random.bernoulli(jax.random.fold_in(drop_rng, 0),
+                                      keep, mh_shape).astype(jnp.float32)
+            kn = jax.random.bernoulli(jax.random.fold_in(drop_rng, 1),
+                                      keep, mh_shape).astype(jnp.float32)
+        else:
+            ka = kn = m3[:, None]                         # broadcast head
+        rs, cs = gat_aggregate_mh(e, m_row, m_col, z_row, z_col, h_e_b,
+                                  m3, ka, kn, keep, nh, PG_G, interp)
+        es = segment_sum(
+            jnp.concatenate([rs.reshape(-1, H), -cs.reshape(-1, H)]),
+            seg, nD, mask=vm)
+        return es / nh
     acc = None
     for hi, hp in enumerate(gat_params):
         h_att = h_d_b @ hp["W_att"]                          # [nD, H]
         ha = h_att[active_idx]                            # [BT, na, H]
         hn = h_att[newdet_idx]                            # [BT, nt, H]
-        keep = 1.0 - mpnn.ATT_DROPOUT if (train and mpnn.ATT_DROPOUT > 0.0) \
-            else 1.0
         if keep < 1.0:
             ka = jax.random.bernoulli(jax.random.fold_in(drop_rng, 2 * hi),
                                       keep, em3.shape)
             kn = jax.random.bernoulli(jax.random.fold_in(drop_rng, 2 * hi + 1),
                                       keep, em3.shape)
-        if fused:
-            # whole attention chain in VMEM (ops/pallas_gat.py): scores +
-            # local max/exp-sums in one kernel, att x h_e in another; the
-            # global softmax normalizer is assembled from det-sized pieces
-            # (two-pass logsumexp), so no score rectangle ever crosses HBM
-            # more than once and the scan stacks no rectangle residuals.
-            e, rmax, cmax, sal, sbl = gat_scores_stats(
-                ha, hn, hp["a"], m3, float(mpnn.LEAKY_ALPHA), PG_G, interp)
-            # the shift is value/grad-invariant: stop-grad it (softmax
-            # convention) so no cotangents ride the segment_max argmax
-            rmax = jax.lax.stop_gradient(rmax)
-            cmax = jax.lax.stop_gradient(cmax)
-            m_d = segment_max(jnp.concatenate([rmax.reshape(-1),
-                                               cmax.reshape(-1)]),
-                              seg, nD, mask=vm)              # [nD]
-            safe_m = jnp.where(m_d > NEG / 2, m_d, 0.0)
-            m_row = safe_m[active_idx]                    # [BT, na]
-            m_col = safe_m[newdet_idx]                    # [BT, nt]
-            # exp(NEG - m) underflows to exactly 0 for all-masked rows
-            sa = jnp.exp(rmax - m_row) * sal
-            sb = jnp.exp(cmax - m_col) * sbl
-            z = segment_sum(jnp.concatenate([sa.reshape(-1),
-                                             sb.reshape(-1)]),
-                            seg, nD, mask=vm)                # [nD]
-            kka, kkn = (ka.astype(jnp.float32), kn.astype(jnp.float32)) \
-                if keep < 1.0 else (m3, m3)
-            rs, cs = gat_aggregate(e, m_row, m_col, z[active_idx],
-                                   z[newdet_idx], h_e_b, m3, kka, kkn,
-                                   keep, PG_G, interp)
-        else:
-            a_in = jnp.abs(ha[:, :, None, :] - hn[:, None, :, :])
-            e = jax.nn.leaky_relu((a_in @ hp["a"])[..., 0],
-                                  mpnn.LEAKY_ALPHA)
-            e_m = jnp.where(em3, e, NEG)
-            rmax = jnp.max(e_m, axis=2)                      # [BT, na]
-            cmax = jnp.max(e_m, axis=1)                      # [BT, nt]
-            m_d = segment_max(jnp.concatenate([rmax.reshape(-1),
-                                               cmax.reshape(-1)]),
-                              seg, nD, mask=vm)              # [nD]
-            safe_m = jnp.where(m_d > NEG / 2, m_d, 0.0)
-            ea = jnp.where(em3,
-                           jnp.exp(e - safe_m[active_idx][:, :, None]),
-                           0.0)
-            en = jnp.where(em3,
-                           jnp.exp(e - safe_m[newdet_idx][:, None, :]),
-                           0.0)
-            z = segment_sum(jnp.concatenate([jnp.sum(ea, 2).reshape(-1),
-                                             jnp.sum(en, 1).reshape(-1)]),
-                            seg, nD, mask=vm)                # [nD]
-            att_a = ea / jnp.maximum(z[active_idx][:, :, None], 1e-30)
-            att_n = en / jnp.maximum(z[newdet_idx][:, None, :], 1e-30)
-            if keep < 1.0:
-                att_a = att_a * ka / keep
-                att_n = att_n * kn / keep
-            rs = jnp.sum(att_a[..., None] * h_e_b, axis=2)   # [BT, na, H]
-            cs = jnp.sum(att_n[..., None] * h_e_b, axis=1)   # [BT, nt, H]
+        a_in = jnp.abs(ha[:, :, None, :] - hn[:, None, :, :])
+        e = jax.nn.leaky_relu((a_in @ hp["a"])[..., 0],
+                              mpnn.LEAKY_ALPHA)
+        e_m = jnp.where(em3, e, NEG)
+        rmax = jnp.max(e_m, axis=2)                      # [BT, na]
+        cmax = jnp.max(e_m, axis=1)                      # [BT, nt]
+        m_d = segment_max(jnp.concatenate([rmax.reshape(-1),
+                                           cmax.reshape(-1)]),
+                          seg, nD, mask=vm)              # [nD]
+        safe_m = jnp.where(m_d > NEG / 2, m_d, 0.0)
+        ea = jnp.where(em3,
+                       jnp.exp(e - safe_m[active_idx][:, :, None]),
+                       0.0)
+        en = jnp.where(em3,
+                       jnp.exp(e - safe_m[newdet_idx][:, None, :]),
+                       0.0)
+        z = segment_sum(jnp.concatenate([jnp.sum(ea, 2).reshape(-1),
+                                         jnp.sum(en, 1).reshape(-1)]),
+                        seg, nD, mask=vm)                # [nD]
+        att_a = ea / jnp.maximum(z[active_idx][:, :, None], 1e-30)
+        att_n = en / jnp.maximum(z[newdet_idx][:, None, :], 1e-30)
+        if keep < 1.0:
+            att_a = att_a * ka / keep
+            att_n = att_n * kn / keep
+        rs = jnp.sum(att_a[..., None] * h_e_b, axis=2)   # [BT, na, H]
+        cs = jnp.sum(att_n[..., None] * h_e_b, axis=1)   # [BT, nt, H]
         es = segment_sum(
             jnp.concatenate([rs.reshape(-1, H), -cs.reshape(-1, H)]),
             seg, nD, mask=vm)
