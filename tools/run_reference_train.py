@@ -30,8 +30,9 @@ REF = "/root/reference"
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--tree", required=True, help="KITTI tree root (training/...)")
+    p.add_argument("--tree", required=True, help="dataset tree root (training/...)")
     p.add_argument("--output-dir", required=True)
+    p.add_argument("--dataset", default="kitti", choices=["kitti", "bdd100k"])
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--seed", type=int, default=5)
     args, extra = p.parse_known_args(argv)
@@ -94,20 +95,24 @@ def main(argv=None):
         if not hasattr(np, _name):
             setattr(np, _name, _alias)
 
+    if args.dataset == "kitti":
+        defaults = ["--category", "Car", "--detections", "rrc"]
+    else:
+        # the reference's BDD recipe (README.md:113) minus the vis branch
+        # (its espv2 requires the unavailable ImageNet weights file)
+        defaults = ["--category", "All", "--detections", "libra"]
     sys.argv = [
         "train.py",
-        "--dataset", "kitti",
+        "--dataset", args.dataset,
         "--dataset-root-path", args.tree,
         "--output-dir", args.output_dir,
-        "--category", "Car",
-        "--detections", "rrc",
         "--feats", "2d",
         "--cur-win-size", "5",
         "--no-tp-classifier",
         "--epochs", str(args.epochs),
         "--seed", str(args.seed),
         "--no-cuda",
-    ] + extra
+    ] + defaults + extra
 
     runpy.run_path(os.path.join(REF, "train.py"), run_name="__main__")
 

@@ -296,3 +296,95 @@ def write_kitti_tree_appearance(
         os.makedirs(labdir, exist_ok=True)
         with open(os.path.join(labdir, seq + ".txt"), "w") as f:
             f.write("\n".join(label_lines) + "\n")
+
+
+BDD_NAMES = {1: "pedestrian", 2: "car", 3: "bicycle"}
+
+
+def write_bdd_tree(
+    root: str,
+    num_seqs: int = 12,
+    num_frames: int = 16,
+    num_tracks: int = 6,
+    split_dir: str = "training",
+    detections: str = "libra",
+    seed: int = 0,
+    real_images: bool = True,
+    crowd: bool = True,
+    **seq_kwargs,
+):
+    """Render synthetic sequences into a BDD100K MOT file tree (the
+    reference layout: .jpg frames, <det>_detections/<seq>/%.4d.txt CSVs,
+    label_02/<seq>.txt 17-column files sorted by frame —
+    /root/reference/dataset/bdd100k_mot.py:99-109,250,323).
+
+    With `crowd=True` each sequence gets per-frame 'crowd' (cat -1) and
+    'trailer' (distractor, cat 9) GT rows plus matching junk detections,
+    exercising the reference's IoM-crowd / IoU-distractor removal
+    (bdd100k_mot.py:416-469).  Detection scores are lifted above the 0.8
+    load threshold (bdd100k_mot.py:342).  `real_images=True` writes
+    decodable JPEGs (one encode, bytes reused)."""
+    import os
+
+    jpg_bytes = None
+    if real_images:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (IM_W, IM_H), (80, 90, 100)).save(buf, format="JPEG")
+        jpg_bytes = buf.getvalue()
+
+    rng = np.random.default_rng(seed + 999)
+    for s in range(num_seqs):
+        seq = "seq%03d" % s
+        imdir = os.path.join(root, split_dir, "image_02", seq)
+        detdir = os.path.join(root, split_dir, f"{detections}_detections", seq)
+        os.makedirs(imdir, exist_ok=True)
+        os.makedirs(detdir, exist_ok=True)
+        _, bbox_pred, bbox_gt = make_sequence(
+            num_tracks=num_tracks, num_frames=num_frames, seed=seed + s,
+            **seq_kwargs)
+        label_lines = []
+        for fr in range(num_frames):
+            if jpg_bytes is not None:
+                with open(os.path.join(imdir, "%.4d.jpg" % fr), "wb") as f:
+                    f.write(jpg_bytes)
+            else:
+                open(os.path.join(imdir, "%.4d.jpg" % fr), "ab").close()
+            det_lines = []
+            for b in bbox_pred[bbox_pred[:, 0] == fr]:
+                name = BDD_NAMES[int(b[2])]
+                det_lines.append(
+                    f"{name},{b[4]:.2f},{b[5]:.2f},{b[6]:.2f},{b[7]:.2f},"
+                    f"{max(b[15], 0.85):.3f}")
+            for b in bbox_gt[bbox_gt[:, 0] == fr]:
+                name = BDD_NAMES[int(b[2])]
+                label_lines.append(
+                    f"{fr} {int(b[1])} {name} 0 0 0.0 {b[4]:.2f} {b[5]:.2f} "
+                    f"{b[6]:.2f} {b[7]:.2f} 1 1 1 1 1 10 0.1")
+            if crowd:
+                # crowd region (IoM-removes unmatched dets inside it) and a
+                # trailer distractor (IoU-removes overlapping FP dets)
+                cx = float(rng.uniform(100, IM_W - 300))
+                cy = float(rng.uniform(60, IM_H - 160))
+                label_lines.append(
+                    f"{fr} 900 crowd 0 0 0.0 {cx:.2f} {cy:.2f} "
+                    f"{cx + 250:.2f} {cy + 130:.2f} 1 1 1 1 1 10 0.1")
+                label_lines.append(
+                    f"{fr} 901 trailer 0 0 0.0 {cx + 20:.2f} {cy + 10:.2f} "
+                    f"{cx + 120:.2f} {cy + 80:.2f} 1 1 1 1 1 10 0.1")
+                # junk detections: one inside the crowd, one on the trailer
+                det_lines.append(
+                    f"car,{cx + 40:.2f},{cy + 20:.2f},{cx + 130:.2f},"
+                    f"{cy + 90:.2f},0.9")
+                det_lines.append(
+                    f"car,{cx + 25:.2f},{cy + 12:.2f},{cx + 118:.2f},"
+                    f"{cy + 78:.2f},0.88")
+            with open(os.path.join(detdir, "%.4d.txt" % fr), "w") as f:
+                f.write("\n".join(det_lines) + ("\n" if det_lines else ""))
+        labdir = os.path.join(root, split_dir, "label_02")
+        os.makedirs(labdir, exist_ok=True)
+        with open(os.path.join(labdir, seq + ".txt"), "w") as f:
+            f.write("\n".join(label_lines) + "\n")
