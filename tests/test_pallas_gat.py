@@ -202,15 +202,15 @@ def test_gat_scores_stats_mh_matches_per_head(nh):
     for h in range(nh):
         eh, rh, ch, sah, sbh = gat_scores_stats(has[h], hns[h], aas[h], m,
                                                 ALPHA, 4, True)
-        np.testing.assert_allclose(np.asarray(e[:, h]), np.asarray(eh),
+        np.testing.assert_allclose(np.asarray(e[h]), np.asarray(eh),
                                    rtol=1e-5, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(rmax[:, h]), np.asarray(rh),
+        np.testing.assert_allclose(np.asarray(rmax[h]), np.asarray(rh),
                                    rtol=1e-5, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(cmax[:, h]), np.asarray(ch),
+        np.testing.assert_allclose(np.asarray(cmax[h]), np.asarray(ch),
                                    rtol=1e-5, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(sal[:, h]), np.asarray(sah),
+        np.testing.assert_allclose(np.asarray(sal[h]), np.asarray(sah),
                                    rtol=1e-5, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(sbl[:, h]), np.asarray(sbh),
+        np.testing.assert_allclose(np.asarray(sbl[h]), np.asarray(sbh),
                                    rtol=1e-5, atol=1e-5)
 
 
@@ -224,9 +224,9 @@ def test_gat_scores_stats_mh_grads(nh):
     k = jax.random.key(3)
     H = has[0].shape[-1]
     na, nt = m.shape[1], m.shape[2]
-    we = jax.random.normal(k, (m.shape[0], nh, na, nt))
-    wa = jax.random.normal(jax.random.fold_in(k, 1), (m.shape[0], nh, na))
-    wb = jax.random.normal(jax.random.fold_in(k, 2), (m.shape[0], nh, nt))
+    we = jax.random.normal(k, (nh, m.shape[0], na, nt))
+    wa = jax.random.normal(jax.random.fold_in(k, 1), (nh, m.shape[0], na))
+    wb = jax.random.normal(jax.random.fold_in(k, 2), (nh, m.shape[0], nt))
 
     def loss_mh(ha_s, hn_s, a_s):
         e, rmax, cmax, sal, sbl = gat_scores_stats_mh(
@@ -239,8 +239,8 @@ def test_gat_scores_stats_mh_grads(nh):
             e, rmax, cmax, sal, sbl = gat_scores_stats(
                 ha_s[..., h * H:(h + 1) * H], hn_s[..., h * H:(h + 1) * H],
                 a_s[h * H:(h + 1) * H], m, ALPHA, 4, True)
-            tot += (jnp.sum(e * we[:, h]) + jnp.sum(sal * wa[:, h])
-                    + jnp.sum(sbl * wb[:, h]))
+            tot += (jnp.sum(e * we[h]) + jnp.sum(sal * wa[h])
+                    + jnp.sum(sbl * wb[h]))
         return tot
 
     g_m = jax.grad(loss_mh, argnums=(0, 1, 2))(ha_s, hn_s, a_s)
@@ -257,14 +257,14 @@ def test_gat_aggregate_mh_matches_per_head(nh, keep):
     rng = np.random.default_rng(30 + nh)
     BT, na, nt, H = 7, 8, 8, 16
     _, _, _, m = make_inputs(rng, BT, na, nt, H)
-    e = jnp.asarray(rng.normal(size=(BT, nh, na, nt)).astype(np.float32))
-    mr = jnp.asarray(rng.normal(size=(BT, nh, na)).astype(np.float32))
-    mc = jnp.asarray(rng.normal(size=(BT, nh, nt)).astype(np.float32))
-    zr = jnp.asarray(rng.uniform(0.5, 2.0, size=(BT, nh, na)).astype(np.float32))
-    zc = jnp.asarray(rng.uniform(0.5, 2.0, size=(BT, nh, nt)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(nh, BT, na, nt)).astype(np.float32))
+    mr = jnp.asarray(rng.normal(size=(nh, BT, na)).astype(np.float32))
+    mc = jnp.asarray(rng.normal(size=(nh, BT, nt)).astype(np.float32))
+    zr = jnp.asarray(rng.uniform(0.5, 2.0, size=(nh, BT, na)).astype(np.float32))
+    zc = jnp.asarray(rng.uniform(0.5, 2.0, size=(nh, BT, nt)).astype(np.float32))
     he = jnp.asarray(rng.normal(size=(BT, na, nt, H)).astype(np.float32))
-    ka = jnp.asarray((rng.random((BT, nh, na, nt)) < keep).astype(np.float32))
-    kn = jnp.asarray((rng.random((BT, nh, na, nt)) < keep).astype(np.float32))
+    ka = jnp.asarray((rng.random((nh, BT, na, nt)) < keep).astype(np.float32))
+    kn = jnp.asarray((rng.random((nh, BT, na, nt)) < keep).astype(np.float32))
 
     def agg_mh(e, mr, mc, zr, zc, he):
         return gat_aggregate_mh(e, mr, mc, zr, zc, he, m, ka, kn, keep,
@@ -273,8 +273,8 @@ def test_gat_aggregate_mh_matches_per_head(nh, keep):
     def agg_ph(e, mr, mc, zr, zc, he):
         rs = cs = 0.0
         for h in range(nh):
-            r, c = gat_aggregate(e[:, h], mr[:, h], mc[:, h], zr[:, h],
-                                 zc[:, h], he, m, ka[:, h], kn[:, h],
+            r, c = gat_aggregate(e[h], mr[h], mc[h], zr[h],
+                                 zc[h], he, m, ka[h], kn[h],
                                  keep, 4, True)
             rs = rs + r
             cs = cs + c

@@ -27,6 +27,8 @@ serving wall clock (18.9 frames/s); see docs/RESULTS.md.
 
 from __future__ import annotations
 
+import time
+from collections import defaultdict
 from functools import partial
 from typing import List, Optional
 
@@ -197,7 +199,7 @@ class BatchedTracker:
         self.cfg = cfg
 
     def run(self, sequences: List, on_step=None,
-            pipeline: bool = True) -> List[np.ndarray]:
+            pipeline: bool = True, profile: bool = False) -> List[np.ndarray]:
         """sequences: list of (X [N,F], y_seq [N,2]).  Returns y_out list.
         on_step(seq_index, graph, scores2) fires after every forward.
 
@@ -213,15 +215,31 @@ class BatchedTracker:
         states = [_SeqState(X, y, self.cfg, nbh) for X, y in sequences]
         nfeats = mc.nfeatures
         seq_idx = {id(s): i for i, s in enumerate(states)}
+        # per-phase wall-clock breakdown (profile=True): plan = host graph
+        # planning (engine.update/initialize incl. Hungarian + C++ planner),
+        # pack = numpy view packing + stacking, dispatch = upload + async
+        # program enqueue, block = np.asarray(scores) (device compute +
+        # score download + tunnel RTT), decode = host decode_tracks/prune.
+        self.phase_s = defaultdict(float) if profile else None
+        self.n_steps = 0
+        _t = time.perf_counter if profile else None
 
         def launch(cohort):
             """Host-plan the cohort and dispatch ONE async device forward."""
+            t0 = _t() if profile else 0
             active = [s for s in cohort if s.prepare()]
             if not active:
                 return None
+            if profile:
+                t1 = _t()
+                self.phase_s["plan"] += t1 - t0
+                self.n_steps += 1
             cap = _bucketed(max(s.g.n for s in active), self.cfg.bucket)
             views = [s.view(cap, nfeats) for s in active]
             stack = lambda i: jnp.asarray(np.stack([v[i] for v in views]))
+            if profile:
+                self.phase_s["pack"] += _t() - t1
+                t1 = _t()
             g = GraphView(is_det=stack(0), past=stack(1), fut=stack(2),
                           live=stack(3), new=stack(4), feat=stack(5))
             # hidden stays on device: compose the keep/permutation plan as a
@@ -240,16 +258,24 @@ class BatchedTracker:
                 scores, hidden = _batched_forward_gather(
                     self.params, self.batch_stats, mc, g, src,
                     jnp.asarray(lanes), stack(6))
+            if profile:
+                self.phase_s["dispatch"] += _t() - t1
             return active, scores, hidden
 
         def consume(inflight):
             """Block on the cohort's scores and decode; hidden stays device-side."""
             active, scores, hidden = inflight
+            t0 = _t() if profile else 0
             scores = np.asarray(scores)
+            if profile:
+                t1 = _t()
+                self.phase_s["block"] += t1 - t0
             for k, s in enumerate(active):
                 cb = (lambda g, sc, _i=seq_idx[id(s)]: on_step(_i, g, sc)) \
                     if on_step is not None else None
                 s.consume(scores[k], hidden, k, on_step=cb)
+            if profile:
+                self.phase_s["decode"] += _t() - t1
 
         if pipeline and len(states) >= 2:
             mid = (len(states) + 1) // 2

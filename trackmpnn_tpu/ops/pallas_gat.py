@@ -310,21 +310,26 @@ def _agg_fwd_kernel(e_ref, mr_ref, mc_ref, zr_ref, zc_ref, he_ref, m_ref,
     cs_ref[:] = jnp.sum(att_n[..., None] * he, axis=1)
 
 
-def _agg_bwd_kernel(e_ref, mr_ref, mc_ref, zr_ref, zc_ref, he_ref, m_ref,
-                    ka_ref, kn_ref, grs_ref, gcs_ref,
+def _agg_bwd_kernel(e_ref, mr_ref, mc_ref, zr_ref, zc_ref, da_ref, dn_ref,
+                    m_ref, ka_ref, kn_ref, grs_ref, gcs_ref,
                     de_ref, dmr_ref, dmc_ref, dzr_ref, dzc_ref, dhe_ref,
                     *, keep):
+    # datt_a/datt_n (the <grad, h_e> contractions over H) arrive
+    # PRECOMPUTED by XLA einsums: reducing the LANE axis of the 4D
+    # product in-kernel crashes this toolchain's tpu_compile_helper
+    # (bisected in tools/debug_gat_mh*.py — every variant that kept the
+    # in-kernel jnp.sum(... * he, axis=-1) died, the datt-free dhe path
+    # compiled), and Mosaic rejects batched dot_general outright.  XLA
+    # runs the contraction on the MXU anyway; the kernel then no longer
+    # reads h_e at all.
     att_a, att_n = _att_rect(e_ref[:], mr_ref[:], mc_ref[:], zr_ref[:],
                              zc_ref[:], m_ref[:],
                              ka_ref[:] if keep < 1.0 else None,
                              kn_ref[:] if keep < 1.0 else None, keep)
-    he = he_ref[:].astype(jnp.float32)
     grs = grs_ref[:]
     gcs = gcs_ref[:]
-    datt_a = jnp.sum(grs[:, :, None, :] * he, axis=-1)   # [G, na, nt]
-    datt_n = jnp.sum(gcs[:, None, :, :] * he, axis=-1)
-    pa = datt_a * att_a
-    pn = datt_n * att_n
+    pa = da_ref[:] * att_a
+    pn = dn_ref[:] * att_n
     de_ref[:] = pa + pn
     s_a = jnp.sum(pa, axis=2)                            # [G, na]
     s_n = jnp.sum(pn, axis=1)                            # [G, nt]
@@ -386,22 +391,35 @@ def _agg_fwd(e, m_row, m_col, z_row, z_col, h_e, mask3, ka, kn, keep, g,
                                 ka, kn)
 
 
+def _datt(h_e, g_rs, g_cs):
+    """<grad, h_e> contractions over H, in XLA (see _agg_bwd_kernel)."""
+    he32 = h_e.astype(jnp.float32)
+    datt_a = jnp.einsum("bijh,bih->bij", he32, g_rs,
+                        preferred_element_type=jnp.float32)
+    datt_n = jnp.einsum("bijh,bjh->bij", he32, g_cs,
+                        preferred_element_type=jnp.float32)
+    return datt_a, datt_n
+
+
 def _agg_bwd(keep, g, interpret, res, grads):
     e, m_row, m_col, z_row, z_col, h_e, mask3, ka, kn = res
     g_rs, g_cs = grads
     BT, na, nt, H = h_e.shape
     bt_pad = -(-BT // g) * g
+    datt_a, datt_n = _datt(h_e, g_rs, g_cs)
     pads = (_pad_bt(x, bt_pad)
-            for x in (e, m_row, m_col, z_row, z_col, h_e, mask3, ka, kn,
-                      g_rs, g_cs))
-    e_p, mr_p, mc_p, zr_p, zc_p, he_p, m_p, ka_p, kn_p, grs_p, gcs_p = pads
+            for x in (e, m_row, m_col, z_row, z_col, datt_a, datt_n,
+                      mask3, ka, kn, g_rs, g_cs))
+    e_p, mr_p, mc_p, zr_p, zc_p, da_p, dn_p, m_p, ka_p, kn_p, grs_p, \
+        gcs_p = pads
     kernel = functools.partial(_agg_bwd_kernel, keep=keep)
     de, dmr, dmc, dzr, dzc, dhe = pl.pallas_call(
         kernel,
         grid=(bt_pad // g,),
         in_specs=_specs([e_p.shape, mr_p.shape, mc_p.shape, zr_p.shape,
-                         zc_p.shape, he_p.shape, m_p.shape, ka_p.shape,
-                         kn_p.shape, grs_p.shape, gcs_p.shape], g),
+                         zc_p.shape, da_p.shape, dn_p.shape, m_p.shape,
+                         ka_p.shape, kn_p.shape, grs_p.shape,
+                         gcs_p.shape], g),
         out_specs=tuple(_specs([(bt_pad, na, nt), (bt_pad, na),
                                 (bt_pad, nt), (bt_pad, na), (bt_pad, nt),
                                 (bt_pad, na, nt, H)], g)),
@@ -414,7 +432,8 @@ def _agg_bwd(keep, g, interpret, res, grads):
             jax.ShapeDtypeStruct((bt_pad, na, nt, H), h_e.dtype),
         ),
         interpret=interpret,
-    )(e_p, mr_p, mc_p, zr_p, zc_p, he_p, m_p, ka_p, kn_p, grs_p, gcs_p)
+    )(e_p, mr_p, mc_p, zr_p, zc_p, da_p, dn_p, m_p, ka_p, kn_p, grs_p,
+      gcs_p)
     return (de[:BT], dmr[:BT], dmc[:BT], dzr[:BT], dzc[:BT], dhe[:BT],
             jnp.zeros_like(mask3), jnp.zeros_like(ka), jnp.zeros_like(kn))
 
@@ -442,16 +461,43 @@ def reference_gat_aggregate(e, m_row, m_col, z_row, z_col, h_e, mask3, ka,
 #
 #   * ha/hn arrive with the heads CONCATENATED on the feature dim
 #     [BT, na, nh*H] (one detection-layout matmul + one gather for all
-#     heads); scores/stats come back stacked on a sublane axis
-#     [BT, nh, na, nt];
+#     heads); scores/stats come back stacked on the LEADING axis
+#     [nh, BT, na, nt];
 #   * the aggregate kernel emits rs/cs already SUMMED over heads (the
 #     caller divides by nh) - the downstream segment_sum runs once, not
 #     per head - while the softmax stats keep their per-head identity
-#     ([BT, nh, ...]) because the normalizers differ per head.
+#     ([nh, BT, ...]) because the normalizers differ per head.
 #
-# Dropout keep-masks arrive as [BT, nh(or 1), na, nt]; a size-1 head axis
+# The head axis MUST be the leading (untiled) one.  Stacking it mid-array
+# ([BT, nh, na, nt]) and storing attention-derived values through
+# `ref[:, h, ...]` crashes this toolchain's tpu_compile_helper (bisected
+# in tools/debug_gat_mh*.py: every mid-axis store of an att-chain value
+# dies; the same value stored to an unstacked ref compiles, and so do
+# isolated mid-axis store probes).  Leading-axis indexing `ref[h]` is a
+# plain block offset on the (second-minor, minor)-tiled layout and
+# compiles everywhere.
+#
+# Dropout keep-masks arrive as [nh(or 1), BT, na, nt]; a size-1 head axis
 # broadcasts inside the kernel (used for the keep=1.0 eval path, where the
 # mask is ignored numerically but shapes must still bind).
+def _mh_specs(shapes, g):
+    """BlockSpecs for head-leading [nh, BT, ...] arrays: full head axis,
+    dim-1 sliced in chunks of g blocks."""
+    return [
+        pl.BlockSpec((s[0], g) + s[2:],
+                     lambda i, nd=len(s): (0, i) + (0,) * (nd - 2),
+                     memory_space=pltpu.VMEM)
+        for s in shapes
+    ]
+
+
+def _pad_axis1(x, n):
+    if x.shape[1] == n:
+        return x
+    pad = [(0, 0), (0, n - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
+    return jnp.pad(x, pad)
+
+
 def _mh_stats_fwd_kernel(ha_ref, hn_ref, a_ref, m_ref,
                          e_ref, rmax_ref, cmax_ref, sal_ref, sbl_ref,
                          *, alpha, nh):
@@ -468,14 +514,14 @@ def _mh_stats_fwd_kernel(ha_ref, hn_ref, a_ref, m_ref,
                       preferred_element_type=jnp.float32).reshape(G, na, nt)
         pre = pre * m3
         e = jnp.where(pre >= 0.0, pre, alpha * pre)
-        e_ref[:, h, :, :] = e
+        e_ref[h] = e
         e_m = jnp.where(m3 > 0.0, e, NEG_SCORE)
         rmax = jnp.max(e_m, axis=2)
         cmax = jnp.max(e_m, axis=1)
-        rmax_ref[:, h, :] = rmax
-        cmax_ref[:, h, :] = cmax
-        sal_ref[:, h, :] = jnp.sum(m3 * jnp.exp(e_m - rmax[:, :, None]), axis=2)
-        sbl_ref[:, h, :] = jnp.sum(m3 * jnp.exp(e_m - cmax[:, None, :]), axis=1)
+        rmax_ref[h] = rmax
+        cmax_ref[h] = cmax
+        sal_ref[h] = jnp.sum(m3 * jnp.exp(e_m - rmax[:, :, None]), axis=2)
+        sbl_ref[h] = jnp.sum(m3 * jnp.exp(e_m - cmax[:, None, :]), axis=1)
 
 
 def _mh_stats_bwd_kernel(ha_ref, hn_ref, a_ref, m_ref, ge_ref, gsal_ref,
@@ -497,10 +543,10 @@ def _mh_stats_bwd_kernel(ha_ref, hn_ref, a_ref, m_ref, ge_ref, gsal_ref,
         e_m = jnp.where(m3 > 0.0, e, NEG_SCORE)
         rmax = jnp.max(e_m, axis=2)
         cmax = jnp.max(e_m, axis=1)
-        de = (ge_ref[:, h, :, :]
-              + gsal_ref[:, h, :][:, :, None] * m3
+        de = (ge_ref[h]
+              + gsal_ref[h][:, :, None] * m3
               * jnp.exp(e_m - rmax[:, :, None])
-              + gsbl_ref[:, h, :][:, None, :] * m3
+              + gsbl_ref[h][:, None, :] * m3
               * jnp.exp(e_m - cmax[:, None, :]))
         dpre = de * jnp.where(pre_m >= 0.0, 1.0, alpha) * m3
         t = dpre[..., None] * jnp.sign(d) * a_h.reshape(1, 1, 1, H)
@@ -525,9 +571,10 @@ def gat_scores_stats_mh(ha, hn, a, mask3, alpha, nh, g=DEFAULT_G,
 
     ha f32 [BT,na,nh*H] / hn f32 [BT,nt,nh*H] with heads concatenated on
     the feature dim; a f32 [nh*H,1] stacked per-head score vectors; mask3
-    f32 [BT,na,nt].  Returns e [BT,nh,na,nt], rmax/sa_l [BT,nh,na],
-    cmax/sb_l [BT,nh,nt] - per-head semantics identical to
-    gat_scores_stats (rmax/cmax are shift constants: stop_gradient them).
+    f32 [BT,na,nt].  Returns e [nh,BT,na,nt], rmax/sa_l [nh,BT,na],
+    cmax/sb_l [nh,BT,nt] (head-LEADING, see module comment) - per-head
+    semantics identical to gat_scores_stats (rmax/cmax are shift
+    constants: stop_gradient them).
     """
     out, _ = _mh_stats_fwd(ha, hn, a, mask3, alpha, nh, g, interpret)
     return out
@@ -544,19 +591,19 @@ def _mh_stats_fwd(ha, hn, a, mask3, alpha, nh, g, interpret):
         grid=(bt_pad // g,),
         in_specs=_specs([ha_p.shape, hn_p.shape], g)
         + [_const_spec(a.shape)] + _specs([m_p.shape], g),
-        out_specs=tuple(_specs([(bt_pad, nh, na, nt), (bt_pad, nh, na),
-                                (bt_pad, nh, nt), (bt_pad, nh, na),
-                                (bt_pad, nh, nt)], g)),
+        out_specs=tuple(_mh_specs([(nh, bt_pad, na, nt), (nh, bt_pad, na),
+                                   (nh, bt_pad, nt), (nh, bt_pad, na),
+                                   (nh, bt_pad, nt)], g)),
         out_shape=(
-            jax.ShapeDtypeStruct((bt_pad, nh, na, nt), jnp.float32),
-            jax.ShapeDtypeStruct((bt_pad, nh, na), jnp.float32),
-            jax.ShapeDtypeStruct((bt_pad, nh, nt), jnp.float32),
-            jax.ShapeDtypeStruct((bt_pad, nh, na), jnp.float32),
-            jax.ShapeDtypeStruct((bt_pad, nh, nt), jnp.float32),
+            jax.ShapeDtypeStruct((nh, bt_pad, na, nt), jnp.float32),
+            jax.ShapeDtypeStruct((nh, bt_pad, na), jnp.float32),
+            jax.ShapeDtypeStruct((nh, bt_pad, nt), jnp.float32),
+            jax.ShapeDtypeStruct((nh, bt_pad, na), jnp.float32),
+            jax.ShapeDtypeStruct((nh, bt_pad, nt), jnp.float32),
         ),
         interpret=interpret,
     )(ha_p, hn_p, a, m_p)
-    out = (e[:BT], rmax[:BT], cmax[:BT], sal[:BT], sbl[:BT])
+    out = (e[:, :BT], rmax[:, :BT], cmax[:, :BT], sal[:, :BT], sbl[:, :BT])
     return out, (ha, hn, a, mask3)
 
 
@@ -566,15 +613,15 @@ def _mh_stats_bwd(alpha, nh, g, interpret, res, grads):
     BT, na, HH = ha.shape
     nt = hn.shape[1]
     bt_pad = -(-BT // g) * g
-    ha_p, hn_p, m_p, ge_p, gsal_p, gsbl_p = (
-        _pad_bt(x, bt_pad) for x in (ha, hn, mask3, ge, gsal, gsbl))
+    ha_p, hn_p, m_p = (_pad_bt(x, bt_pad) for x in (ha, hn, mask3))
+    ge_p, gsal_p, gsbl_p = (_pad_axis1(x, bt_pad) for x in (ge, gsal, gsbl))
     kernel = functools.partial(_mh_stats_bwd_kernel, alpha=alpha, nh=nh)
     dha, dhn, da = pl.pallas_call(
         kernel,
         grid=(bt_pad // g,),
         in_specs=_specs([ha_p.shape, hn_p.shape], g)
-        + [_const_spec(a.shape)]
-        + _specs([m_p.shape, ge_p.shape, gsal_p.shape, gsbl_p.shape], g),
+        + [_const_spec(a.shape)] + _specs([m_p.shape], g)
+        + _mh_specs([ge_p.shape, gsal_p.shape, gsbl_p.shape], g),
         out_specs=tuple(_specs([(bt_pad, na, HH), (bt_pad, nt, HH)], g)
                         + [_const_spec((1, HH))]),
         out_shape=(
@@ -594,13 +641,12 @@ def _mh_agg_fwd_kernel(e_ref, mr_ref, mc_ref, zr_ref, zc_ref, he_ref, m_ref,
                        ka_ref, kn_ref, rs_ref, cs_ref, *, keep, nh):
     he = he_ref[:].astype(jnp.float32)
     m3 = m_ref[:]
-    ka_nh = ka_ref.shape[1]
+    ka_nh = ka_ref.shape[0]
     for h in range(nh):
-        ka = ka_ref[:, h if ka_nh > 1 else 0, :, :] if keep < 1.0 else None
-        kn = kn_ref[:, h if ka_nh > 1 else 0, :, :] if keep < 1.0 else None
-        att_a, att_n = _att_rect(e_ref[:, h, :, :], mr_ref[:, h, :],
-                                 mc_ref[:, h, :], zr_ref[:, h, :],
-                                 zc_ref[:, h, :], m3, ka, kn, keep)
+        ka = ka_ref[h if ka_nh > 1 else 0] if keep < 1.0 else None
+        kn = kn_ref[h if ka_nh > 1 else 0] if keep < 1.0 else None
+        att_a, att_n = _att_rect(e_ref[h], mr_ref[h], mc_ref[h], zr_ref[h],
+                                 zc_ref[h], m3, ka, kn, keep)
         rs = jnp.sum(att_a[..., None] * he, axis=2)
         cs = jnp.sum(att_n[..., None] * he, axis=1)
         if h == 0:
@@ -611,33 +657,33 @@ def _mh_agg_fwd_kernel(e_ref, mr_ref, mc_ref, zr_ref, zc_ref, he_ref, m_ref,
             cs_ref[:] += cs
 
 
-def _mh_agg_bwd_kernel(e_ref, mr_ref, mc_ref, zr_ref, zc_ref, he_ref, m_ref,
-                       ka_ref, kn_ref, grs_ref, gcs_ref,
+def _mh_agg_bwd_kernel(e_ref, mr_ref, mc_ref, zr_ref, zc_ref, da_ref, dn_ref,
+                       m_ref, ka_ref, kn_ref, grs_ref, gcs_ref,
                        de_ref, dmr_ref, dmc_ref, dzr_ref, dzc_ref, dhe_ref,
                        *, keep, nh):
-    he = he_ref[:].astype(jnp.float32)
     m3 = m_ref[:]
     grs = grs_ref[:]
     gcs = gcs_ref[:]
-    # head-independent inner products (the heads' rs/cs were summed)
-    datt_a = jnp.sum(grs[:, :, None, :] * he, axis=-1)   # [G, na, nt]
-    datt_n = jnp.sum(gcs[:, None, :, :] * he, axis=-1)
-    ka_nh = ka_ref.shape[1]
+    # head-independent inner products (the heads' rs/cs were summed);
+    # PRECOMPUTED by XLA — see _agg_bwd_kernel for why they cannot be
+    # formed in-kernel on this toolchain
+    datt_a = da_ref[:]                                   # [G, na, nt]
+    datt_n = dn_ref[:]
+    ka_nh = ka_ref.shape[0]
     for h in range(nh):
-        ka = ka_ref[:, h if ka_nh > 1 else 0, :, :] if keep < 1.0 else None
-        kn = kn_ref[:, h if ka_nh > 1 else 0, :, :] if keep < 1.0 else None
-        att_a, att_n = _att_rect(e_ref[:, h, :, :], mr_ref[:, h, :],
-                                 mc_ref[:, h, :], zr_ref[:, h, :],
-                                 zc_ref[:, h, :], m3, ka, kn, keep)
+        ka = ka_ref[h if ka_nh > 1 else 0] if keep < 1.0 else None
+        kn = kn_ref[h if ka_nh > 1 else 0] if keep < 1.0 else None
+        att_a, att_n = _att_rect(e_ref[h], mr_ref[h], mc_ref[h], zr_ref[h],
+                                 zc_ref[h], m3, ka, kn, keep)
         pa = datt_a * att_a
         pn = datt_n * att_n
-        de_ref[:, h, :, :] = pa + pn
+        de_ref[h] = pa + pn
         s_a = jnp.sum(pa, axis=2)
         s_n = jnp.sum(pn, axis=1)
-        dmr_ref[:, h, :] = -s_a
-        dmc_ref[:, h, :] = -s_n
-        dzr_ref[:, h, :] = -s_a / jnp.maximum(zr_ref[:, h, :], 1e-30)
-        dzc_ref[:, h, :] = -s_n / jnp.maximum(zc_ref[:, h, :], 1e-30)
+        dmr_ref[h] = -s_a
+        dmc_ref[h] = -s_n
+        dzr_ref[h] = -s_a / jnp.maximum(zr_ref[h], 1e-30)
+        dzc_ref[h] = -s_n / jnp.maximum(zc_ref[h], 1e-30)
         dhe = (att_a[..., None] * grs[:, :, None, :]
                + att_n[..., None] * gcs[:, None, :, :])
         if h == 0:
@@ -651,12 +697,13 @@ def gat_aggregate_mh(e, m_row, m_col, z_row, z_col, h_e, mask3, ka, kn,
                      keep, nh, g=DEFAULT_G, interpret=False):
     """Head-SUMMED (rs, cs) attention aggregation in ONE kernel launch.
 
-    e f32 [BT,nh,na,nt]; m_row/z_row f32 [BT,nh,na]; m_col/z_col f32
-    [BT,nh,nt]; h_e f32/bf16 [BT,na,nt,H] (shared across heads); ka/kn
-    f32 0/1 dropout keeps [BT,nh,na,nt] (or [BT,1,na,nt] to broadcast;
-    ignored when keep == 1.0).  Returns rs [BT,na,H], cs [BT,nt,H] equal
-    to the SUM over heads of gat_aggregate's outputs (divide by nh for
-    the head mean).
+    e f32 [nh,BT,na,nt]; m_row/z_row f32 [nh,BT,na]; m_col/z_col f32
+    [nh,BT,nt] (head-LEADING, see module comment); h_e f32/bf16
+    [BT,na,nt,H] (shared across heads); ka/kn f32 0/1 dropout keeps
+    [nh,BT,na,nt] (or [1,BT,na,nt] to broadcast; ignored when
+    keep == 1.0).  Returns rs [BT,na,H], cs [BT,nt,H] equal to the SUM
+    over heads of gat_aggregate's outputs (divide by nh for the head
+    mean).
     """
     out, _ = _mh_agg_fwd(e, m_row, m_col, z_row, z_col, h_e, mask3, ka, kn,
                          keep, nh, g, interpret)
@@ -667,16 +714,18 @@ def _mh_agg_fwd(e, m_row, m_col, z_row, z_col, h_e, mask3, ka, kn, keep,
                 nh, g, interpret):
     BT, na, nt, H = h_e.shape
     bt_pad = -(-BT // g) * g
-    pads = (_pad_bt(x, bt_pad)
-            for x in (e, m_row, m_col, z_row, z_col, h_e, mask3, ka, kn))
-    e_p, mr_p, mc_p, zr_p, zc_p, he_p, m_p, ka_p, kn_p = pads
+    he_p, m_p = (_pad_bt(x, bt_pad) for x in (h_e, mask3))
+    e_p, mr_p, mc_p, zr_p, zc_p, ka_p, kn_p = (
+        _pad_axis1(x, bt_pad)
+        for x in (e, m_row, m_col, z_row, z_col, ka, kn))
     kernel = functools.partial(_mh_agg_fwd_kernel, keep=keep, nh=nh)
     rs, cs = pl.pallas_call(
         kernel,
         grid=(bt_pad // g,),
-        in_specs=_specs([e_p.shape, mr_p.shape, mc_p.shape, zr_p.shape,
-                         zc_p.shape, he_p.shape, m_p.shape, ka_p.shape,
-                         kn_p.shape], g),
+        in_specs=_mh_specs([e_p.shape, mr_p.shape, mc_p.shape, zr_p.shape,
+                            zc_p.shape], g)
+        + _specs([he_p.shape, m_p.shape], g)
+        + _mh_specs([ka_p.shape, kn_p.shape], g),
         out_specs=tuple(_specs([(bt_pad, na, H), (bt_pad, nt, H)], g)),
         out_shape=(
             jax.ShapeDtypeStruct((bt_pad, na, H), jnp.float32),
@@ -693,32 +742,39 @@ def _mh_agg_bwd(keep, nh, g, interpret, res, grads):
     g_rs, g_cs = grads
     BT, na, nt, H = h_e.shape
     bt_pad = -(-BT // g) * g
-    pads = (_pad_bt(x, bt_pad)
-            for x in (e, m_row, m_col, z_row, z_col, h_e, mask3, ka, kn,
-                      g_rs, g_cs))
-    e_p, mr_p, mc_p, zr_p, zc_p, he_p, m_p, ka_p, kn_p, grs_p, gcs_p = pads
+    datt_a, datt_n = _datt(h_e, g_rs, g_cs)
+    da_p, dn_p, m_p, grs_p, gcs_p = (
+        _pad_bt(x, bt_pad) for x in (datt_a, datt_n, mask3, g_rs, g_cs))
+    e_p, mr_p, mc_p, zr_p, zc_p, ka_p, kn_p = (
+        _pad_axis1(x, bt_pad)
+        for x in (e, m_row, m_col, z_row, z_col, ka, kn))
     kernel = functools.partial(_mh_agg_bwd_kernel, keep=keep, nh=nh)
     de, dmr, dmc, dzr, dzc, dhe = pl.pallas_call(
         kernel,
         grid=(bt_pad // g,),
-        in_specs=_specs([e_p.shape, mr_p.shape, mc_p.shape, zr_p.shape,
-                         zc_p.shape, he_p.shape, m_p.shape, ka_p.shape,
-                         kn_p.shape, grs_p.shape, gcs_p.shape], g),
-        out_specs=tuple(_specs([(bt_pad, nh, na, nt), (bt_pad, nh, na),
-                                (bt_pad, nh, nt), (bt_pad, nh, na),
-                                (bt_pad, nh, nt), (bt_pad, na, nt, H)], g)),
+        in_specs=_mh_specs([e_p.shape, mr_p.shape, mc_p.shape, zr_p.shape,
+                            zc_p.shape], g)
+        + _specs([da_p.shape, dn_p.shape, m_p.shape], g)
+        + _mh_specs([ka_p.shape, kn_p.shape], g)
+        + _specs([grs_p.shape, gcs_p.shape], g),
+        out_specs=tuple(_mh_specs([(nh, bt_pad, na, nt), (nh, bt_pad, na),
+                                   (nh, bt_pad, nt), (nh, bt_pad, na),
+                                   (nh, bt_pad, nt)], g)
+                        + _specs([(bt_pad, na, nt, H)], g)),
         out_shape=(
-            jax.ShapeDtypeStruct((bt_pad, nh, na, nt), jnp.float32),
-            jax.ShapeDtypeStruct((bt_pad, nh, na), jnp.float32),
-            jax.ShapeDtypeStruct((bt_pad, nh, nt), jnp.float32),
-            jax.ShapeDtypeStruct((bt_pad, nh, na), jnp.float32),
-            jax.ShapeDtypeStruct((bt_pad, nh, nt), jnp.float32),
+            jax.ShapeDtypeStruct((nh, bt_pad, na, nt), jnp.float32),
+            jax.ShapeDtypeStruct((nh, bt_pad, na), jnp.float32),
+            jax.ShapeDtypeStruct((nh, bt_pad, nt), jnp.float32),
+            jax.ShapeDtypeStruct((nh, bt_pad, na), jnp.float32),
+            jax.ShapeDtypeStruct((nh, bt_pad, nt), jnp.float32),
             jax.ShapeDtypeStruct((bt_pad, na, nt, H), h_e.dtype),
         ),
         interpret=interpret,
-    )(e_p, mr_p, mc_p, zr_p, zc_p, he_p, m_p, ka_p, kn_p, grs_p, gcs_p)
-    return (de[:BT], dmr[:BT], dmc[:BT], dzr[:BT], dzc[:BT], dhe[:BT],
-            jnp.zeros_like(mask3), jnp.zeros_like(ka), jnp.zeros_like(kn))
+    )(e_p, mr_p, mc_p, zr_p, zc_p, da_p, dn_p, m_p, ka_p, kn_p, grs_p,
+      gcs_p)
+    return (de[:, :BT], dmr[:, :BT], dmc[:, :BT], dzr[:, :BT], dzc[:, :BT],
+            dhe[:BT], jnp.zeros_like(mask3), jnp.zeros_like(ka),
+            jnp.zeros_like(kn))
 
 
 gat_aggregate_mh.defvjp(_mh_agg_fwd, _mh_agg_bwd)

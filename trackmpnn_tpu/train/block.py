@@ -390,7 +390,7 @@ def _block_gat_support(gat_params, h_d_b, h_e_b, active_idx, newdet_idx, em3,
     endpoint, p=0.5 train-time dropout on the attention weights, signed
     aggregation of incident edge hiddens, mean over heads); the dropout
     RNG stream differs from the row layout (fused path: two stacked
-    [BT,nh,na,nt] draws; XLA path: two draws per head, vs the row
+    [nh,BT,na,nt] draws; XLA path: two draws per head, vs the row
     layout's one [2N] draw) - identical in distribution.
     """
     H = h_d_b.shape[-1]
@@ -420,34 +420,37 @@ def _block_gat_support(gat_params, h_d_b, h_e_b, active_idx, newdet_idx, em3,
             ha, hn, a_att, m3, float(mpnn.LEAKY_ALPHA), nh, PG_G, interp)
         # the shift is value/grad-invariant: stop-grad it (softmax
         # convention) so no cotangents ride the segment_max argmax
-        rmax = jax.lax.stop_gradient(rmax)                # [BT, nh, na]
-        cmax = jax.lax.stop_gradient(cmax)                # [BT, nh, nt]
+        # (all head-stacked arrays are head-LEADING [nh, BT, ...]; a
+        # mid-array head axis crashes this Mosaic toolchain, see
+        # ops/pallas_gat.py)
+        rmax = jax.lax.stop_gradient(rmax)                # [nh, BT, na]
+        cmax = jax.lax.stop_gradient(cmax)                # [nh, BT, nt]
         # per-head segment reductions in ONE op: rows aligned with seg =
         # [active rows | new cols], heads as the feature dim
-        r_t = jnp.swapaxes(rmax, 1, 2).reshape(-1, nh)
-        c_t = jnp.swapaxes(cmax, 1, 2).reshape(-1, nh)
+        r_t = jnp.transpose(rmax, (1, 2, 0)).reshape(-1, nh)
+        c_t = jnp.transpose(cmax, (1, 2, 0)).reshape(-1, nh)
         m_d = segment_max(jnp.concatenate([r_t, c_t]), seg, nD,
                           mask=vm)                        # [nD, nh]
         safe_m = jnp.where(m_d > NEG / 2, m_d, 0.0)
-        m_row = jnp.swapaxes(safe_m[active_idx], 1, 2)    # [BT, nh, na]
-        m_col = jnp.swapaxes(safe_m[newdet_idx], 1, 2)    # [BT, nh, nt]
+        m_row = jnp.transpose(safe_m[active_idx], (2, 0, 1))  # [nh, BT, na]
+        m_col = jnp.transpose(safe_m[newdet_idx], (2, 0, 1))  # [nh, BT, nt]
         # exp(NEG - m) underflows to exactly 0 for all-masked rows
         sa = jnp.exp(rmax - m_row) * sal
         sb = jnp.exp(cmax - m_col) * sbl
         z = segment_sum(jnp.concatenate(
-            [jnp.swapaxes(sa, 1, 2).reshape(-1, nh),
-             jnp.swapaxes(sb, 1, 2).reshape(-1, nh)]), seg, nD,
+            [jnp.transpose(sa, (1, 2, 0)).reshape(-1, nh),
+             jnp.transpose(sb, (1, 2, 0)).reshape(-1, nh)]), seg, nD,
             mask=vm)                                      # [nD, nh]
-        z_row = jnp.swapaxes(z[active_idx], 1, 2)
-        z_col = jnp.swapaxes(z[newdet_idx], 1, 2)
+        z_row = jnp.transpose(z[active_idx], (2, 0, 1))
+        z_col = jnp.transpose(z[newdet_idx], (2, 0, 1))
         if keep < 1.0:
-            mh_shape = (em3.shape[0], nh) + em3.shape[1:]
+            mh_shape = (nh,) + em3.shape
             ka = jax.random.bernoulli(jax.random.fold_in(drop_rng, 0),
                                       keep, mh_shape).astype(jnp.float32)
             kn = jax.random.bernoulli(jax.random.fold_in(drop_rng, 1),
                                       keep, mh_shape).astype(jnp.float32)
         else:
-            ka = kn = m3[:, None]                         # broadcast head
+            ka = kn = m3[None]                            # broadcast head
         rs, cs = gat_aggregate_mh(e, m_row, m_col, z_row, z_col, h_e_b,
                                   m3, ka, kn, keep, nh, PG_G, interp)
         es = segment_sum(
