@@ -621,16 +621,18 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
 
     # prefix segments: steps [lo, hi) only ever see the first hi*B blocks.
     # K segments trade dead-block work (window-major did T^2; prefixes do
-    # ~T^2*(K+1)/2K) against K traces/compiles of the scan body; K=4
-    # captures most of the available 2x (measured on-chip: 14.9 -> 10.3 ms
-    # at the bench shapes, logs/bench_gk_ab.log).  TM_PREFIX_K=1 restores a
-    # single full-width scan (for A/B).  Default resolves per backend:
-    # 4 on TPU; 2 on XLA:CPU, whose LLVM codegen has segfaulted mid-suite
-    # on the 4x-unrolled program (multi-segment semantics — carry padding,
-    # per-segment views, loss accumulation — are still covered at 2).
+    # ~T^2*(K+1)/2K) against K traces/compiles of the scan body.  On-chip
+    # the sweep is monotone in K at every G measured (logs/bench_gk_ab*.log:
+    # K=1 12.04, K=4 8.50, K=8 8.44, K=16=T 6.70 ms at G=6/B=8/T=16), so
+    # the TPU default is K=T (fully per-step-specialized segments, zero
+    # dead blocks), capped at 16 to bound compile count for long windows.
+    # TM_PREFIX_K=1 restores a single full-width scan (for A/B).  XLA:CPU
+    # defaults to 2: its LLVM codegen has segfaulted mid-suite on wider
+    # unrollings (multi-segment semantics — carry padding, per-segment
+    # views, loss accumulation — are still covered at 2).
     k_env = os.environ.get("TM_PREFIX_K")
     if k_env is None:
-        k_env = 4 if jax.default_backend() == "tpu" else 2
+        k_env = min(T, 16) if jax.default_backend() == "tpu" else 2
     n_seg = max(1, min(int(k_env), T))
     bounds = sorted({-(-T * (k + 1) // n_seg) for k in range(n_seg)})
     segs, _lo = [], 0
