@@ -55,6 +55,9 @@ def main():
     p.add_argument("--out", default="/tmp/bdd_parity")
     p.add_argument("--skip-ref", action="store_true")
     p.add_argument("--skip-ours", action="store_true")
+    p.add_argument("--batch-windows", type=int, default=2,
+                   help="ours-side windows/update; 1 matches the "
+                        "reference's one-update-per-window schedule")
     args = p.parse_args()
 
     if not os.path.exists(args.tree):
@@ -92,7 +95,8 @@ def main():
             "t.main(%r)"
         ) % (REPO, ["--dataset", "bdd100k", "--dataset-root-path", args.tree,
                     "--output-dir", ours_out, "--category", "All",
-                    "--detections", "libra", "--batch-windows", "2"] + recipe)
+                    "--detections", "libra",
+                    "--batch-windows", str(args.batch_windows)] + recipe)
         r = subprocess.run([sys.executable, "-c", code], env=env,
                            capture_output=True, text=True, timeout=6 * 3600)
         open(os.path.join(args.out, "ours_stdout.log"), "w").write(
