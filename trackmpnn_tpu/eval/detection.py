@@ -56,8 +56,13 @@ def compute_map(bbox_pred_dict, bbox_gt_dict, iou_threshold: float = 0.5) -> flo
     anns, ann_frames, classes = _index_by_frame_class(bbox_gt_dict)
     # the reference iterates unique_ids built from the GT dict ONLY
     # (metrics.py:136): a frame with detections but zero GT rows is never
-    # visited, so those detections are neither FPs nor PR-curve entries
-    all_frames = sorted(ann_frames)
+    # visited, so those detections are neither FPs nor PR-curve entries.
+    # It builds those ids as np.unique of "seq_frame" STRINGS
+    # (metrics.py:104), i.e. LEXICOGRAPHIC order ("0_10" < "0_2") — under
+    # tied detection scores the tp/fp visit order changes the cumsum and
+    # hence AP, so we must walk frames in the same order to be
+    # bit-identical (pinned by the BDD parity tree: 94.3240 both).
+    all_frames = sorted(ann_frames, key=lambda k: f"{k[0]}_{k[1]}")
 
     aps = {}
     for cls in sorted(classes):
