@@ -93,3 +93,25 @@ def test_map_ignores_detections_on_gt_empty_frames():
     pred[:, 2:6] = [[0, 0, 10, 10], [50, 50, 60, 60]]
     pred[:, 13] = [0.9, 0.95]
     assert compute_map({"s": (y_pred, pred)}, {"s": (y_gt, gt)}) == 1.0
+
+
+def test_map_tie_order_matches_reference_lexicographic_walk():
+    """The reference visits frames as np.unique of "seq_frame" STRINGS
+    (metrics.py:104), so frame 10 is visited BEFORE frame 2; with tied
+    detection scores that order decides the tp/fp cumsum and the AP.
+    Here frame 10 holds a score-0.9 FP and frame 2 a score-0.9 TP:
+    lexicographic walk -> [fp, tp] -> AP 0.25; a numeric walk would give
+    [tp, fp] -> AP 0.5.  Pinned by the BDD parity tree (94.3240 both
+    sides, tools/debug_bdd_val_universe.py)."""
+    y_gt = np.array([[2, 0], [10, 1]], np.int64)
+    gt = np.zeros((2, 14), np.float32)
+    gt[:, 0] = 1
+    gt[:, 2:6] = [[0, 0, 10, 10], [100, 100, 110, 110]]
+    gt[:, 13] = 1.0
+    y_pred = np.array([[2, 0], [10, 1]], np.int64)
+    pred = np.zeros((2, 14), np.float32)
+    pred[:, 0] = 1
+    pred[:, 2:6] = [[0, 0, 10, 10], [200, 200, 210, 210]]  # frame-10 det is a FP
+    pred[:, 13] = [0.9, 0.9]  # tied scores
+    got = compute_map({"s": (y_pred, pred)}, {"s": (y_gt, gt)})
+    assert abs(got - 0.25) < 1e-9
