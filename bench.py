@@ -372,6 +372,10 @@ def main():
         "torch_ms_total_median": round(dt_torch * 1e3, 1),
         "total_edges": total_edges,
         "torch_edges_per_sec": round(base_eps, 1),
+        # host contention poisons the torch denominator (the TPU
+        # numerator is device-trace timed and immune): stamp the load
+        # average so a polluted vs_baseline is self-identifying
+        "load_avg_1m": round(os.getloadavg()[0], 2),
     }))
 
 
