@@ -56,7 +56,11 @@ from trackmpnn_tpu.ops.pallas_util import (
 # step-major PREFIX segmentation in train/block.py (TM_PREFIX_K).  A
 # slice-wise H-per-gate rewrite that avoided the 3H rectangles measured
 # SLOWER (13.09 at G=4) and was reverted — see docs/RESULTS.md.
-DEFAULT_G = int(os.environ.get("TM_BLOCK_G", "6"))
+# G default: at K=T prefix segments G=4 beats G=6 (6.54 vs 6.69 ms/step
+# at B=8, three identical reproductions each — logs/bench_gk_ab5.log,
+# bench_g4_repro_{1,2}.log); the pre-K=T bisect that picked 6 was
+# measuring dead-block masking that no longer exists.
+DEFAULT_G = int(os.environ.get("TM_BLOCK_G", "4"))
 _VMEM_MB = int(os.environ.get("TM_VMEM_MB", "0"))
 
 
