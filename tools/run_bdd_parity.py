@@ -55,6 +55,7 @@ def main():
     p.add_argument("--out", default="/tmp/bdd_parity")
     p.add_argument("--skip-ref", action="store_true")
     p.add_argument("--skip-ours", action="store_true")
+    p.add_argument("--seed", type=int, default=5)
     p.add_argument("--batch-windows", type=int, default=2,
                    help="ours-side windows/update; 1 matches the "
                         "reference's one-update-per-window schedule")
@@ -64,7 +65,7 @@ def main():
         build_tree(args.tree, args.num_seqs, args.num_frames)
 
     recipe = ["--feats", "2d", "--cur-win-size", "5", "--no-tp-classifier",
-              "--epochs", str(args.epochs), "--seed", "5"]
+              "--epochs", str(args.epochs), "--seed", str(args.seed)]
 
     if not args.skip_ref:
         t0 = time.time()
@@ -72,7 +73,8 @@ def main():
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "run_reference_train.py"),
              "--tree", args.tree, "--output-dir", ref_out,
-             "--dataset", "bdd100k", "--epochs", str(args.epochs)],
+             "--dataset", "bdd100k", "--epochs", str(args.epochs),
+             "--seed", str(args.seed)],
             capture_output=True, text=True, timeout=6 * 3600)
         open(os.path.join(args.out, "ref_stdout.log"), "w").write(
             r.stdout + "\n--- stderr ---\n" + r.stderr)
