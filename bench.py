@@ -333,8 +333,84 @@ def bench_torch(schedules, cap, t_cap, max_windows=None):
         times.append(time.perf_counter() - t0)
         print("bench: torch pass %d/%d -> %.2fs" % (r + 1, repeats, times[-1]),
               file=sys.stderr)
-    dt = float(np.median(times))
-    return dt, edges
+    # MIN of the passes: the least-contended pass is the best estimate of
+    # the uncontended torch speed (same-day captures at load 5.5 vs idle
+    # swung the MEDIAN 10x, VERDICT r4 weak-#3); median kept for the JSON
+    dt = float(np.min(times))
+    return dt, float(np.median(times)), edges
+
+
+# ---- load-aware torch denominator (VERDICT r4 task #7) -------------------
+# Host contention poisons the torch baseline (the TPU numerator is device-
+# trace timed and immune): same-day captures read 327x and 3760x because the
+# torch passes ran at load_avg 5.5.  Strategy: (1) wait for the host to go
+# quiet before timing torch; (2) persist the best clean capture in
+# torch_baseline.json (keyed by workload) and report vs_baseline against it
+# when the live capture is contended, flagging the JSON either way.
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "torch_baseline.json")
+
+
+def _workload_key(total_edges):
+    import torch
+
+    return {"B": B, "TRACKS": TRACKS, "FRAMES": FRAMES,
+            "total_edges": int(total_edges), "torch": torch.__version__,
+            "nproc": os.cpu_count()}
+
+
+def wait_for_quiet_host():
+    """Block until 1-min load average drops below BENCH_LOAD_MAX (default
+    2.0), up to BENCH_LOAD_WAIT_S (default 300) seconds.  Returns the load
+    at the point timing begins."""
+    load_max = float(os.environ.get("BENCH_LOAD_MAX", 2.0))
+    budget = float(os.environ.get("BENCH_LOAD_WAIT_S", 300))
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load > load_max and time.time() - t0 < budget:
+        print("bench: host busy (load_avg %.2f > %.2f), waiting for quiet "
+              "host before torch baseline..." % (load, load_max),
+              file=sys.stderr)
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return load
+
+
+def resolve_torch_baseline(dt_live_min, dt_live_med, edges, load_at_start):
+    """Pick the denominator: live when clean (and persist it if best),
+    stored idle-host capture when the live one is contended."""
+    load_max = float(os.environ.get("BENCH_LOAD_MAX", 2.0))
+    contended = load_at_start > load_max
+    key = _workload_key(edges)
+    stored = None
+    try:
+        with open(BASELINE_FILE) as f:
+            data = json.load(f)
+        if data.get("key") == key:
+            stored = data
+    except (OSError, ValueError):
+        pass
+
+    if not contended:
+        if stored is None or dt_live_min < stored["torch_s_min"]:
+            try:
+                with open(BASELINE_FILE, "w") as f:
+                    json.dump({"key": key, "torch_s_min": dt_live_min,
+                               "torch_s_median": dt_live_med,
+                               "load_avg_1m": round(load_at_start, 2),
+                               "captured_unix": int(time.time())}, f,
+                              indent=1)
+            except OSError:
+                pass
+        return dt_live_min, "live", contended
+    if stored is not None:
+        print("bench: torch capture contended (load %.2f); using stored "
+              "idle-host baseline %.2fs" % (load_at_start,
+                                            stored["torch_s_min"]),
+              file=sys.stderr)
+        return float(stored["torch_s_min"]), "stored", contended
+    return dt_live_min, "live-contended", contended
 
 
 def main():
@@ -356,8 +432,12 @@ def main():
     dt_ours = bench_ours(schedules, cap, t_cap, on_tpu=use_tpu)
     ours_eps = total_edges / dt_ours
 
-    dt_torch, torch_edges = bench_torch(schedules, cap, t_cap)
+    load_at_start = wait_for_quiet_host()
+    dt_live_min, dt_live_med, torch_edges = bench_torch(schedules, cap, t_cap)
+    dt_torch, base_source, contended = resolve_torch_baseline(
+        dt_live_min, dt_live_med, torch_edges, load_at_start)
     base_eps = torch_edges / dt_torch
+    base_eps_live = torch_edges / dt_live_min
 
     print(json.dumps({
         "metric": "train_step_edges_per_sec_per_chip",
@@ -369,13 +449,18 @@ def main():
         "fused": use_tpu,
         "bf16": use_tpu,
         "ours_ms_per_step": round(dt_ours * 1e3, 3),
-        "torch_ms_total_median": round(dt_torch * 1e3, 1),
+        "torch_ms_min": round(dt_live_min * 1e3, 1),
+        "torch_ms_total_median": round(dt_live_med * 1e3, 1),
         "total_edges": total_edges,
         "torch_edges_per_sec": round(base_eps, 1),
-        # host contention poisons the torch denominator (the TPU
-        # numerator is device-trace timed and immune): stamp the load
-        # average so a polluted vs_baseline is self-identifying
-        "load_avg_1m": round(os.getloadavg()[0], 2),
+        # provenance of the denominator: "live" (clean capture, also
+        # persisted to torch_baseline.json), "stored" (live capture was
+        # contended -> idle-host baseline used), or "live-contended"
+        # (contended AND no stored baseline: ratio NOT trustworthy)
+        "torch_baseline_source": base_source,
+        "torch_contended": contended,
+        "vs_baseline_live": round(ours_eps / base_eps_live, 2),
+        "load_avg_1m": round(load_at_start, 2),
     }))
 
 

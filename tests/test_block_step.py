@@ -93,6 +93,60 @@ def test_block_matches_packed_eval_mode():
         assert int(ab[k]) == int(ap[k]), k
 
 
+def test_block_merged_deferred_loss_matches_split(monkeypatch):
+    """The round-5 merged deferred-loss pass (one full-width vmap over all
+    T steps) == the per-segment pass (TM_SPLIT_LOSS=1): loss, counts and
+    grads, at a multi-segment K so the pad+concat path is exercised."""
+    cfg, params, stats = _model(seed=11)
+    bb = build_block_batch(build(3, seed0=80), TCAP)
+    monkeypatch.setenv("TM_PREFIX_K", "3")
+
+    def run():
+        def f(p):
+            return block_window_forward(p, stats, cfg, bb, True,
+                                        defer_loss=True)
+        (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, aux, grads
+
+    lm, am, gm = run()
+    monkeypatch.setenv("TM_SPLIT_LOSS", "1")
+    ls, as_, gs = run()
+    np.testing.assert_allclose(float(lm), float(ls), rtol=1e-6)
+    for k in ("tp", "fp", "fn"):
+        assert int(am[k]) == int(as_[k]), k
+    _assert_tree_close(gm, gs, rtol=1e-5)
+
+
+@pytest.mark.parametrize("defer", [False, True])
+@pytest.mark.parametrize("k", [1, 3, 4])
+def test_block_prefix_k_invariance(monkeypatch, k, defer):
+    """Loss, aux AND grads are invariant to the prefix-segment count
+    (TM_PREFIX_K): the segment-boundary carry handoff (h_e padding, per-
+    segment views, loss accumulation) must be exact.  The CPU suite
+    otherwise only ever runs K=2 (VERDICT r4 weak-#2); K=3 puts a boundary
+    at a non-divisor of T, K=4 at the TPU default's granularity."""
+    cfg, params, stats = _model(seed=9)
+    schedules = build(4, seed0=60)
+    bb = build_block_batch(schedules, TCAP)
+
+    def run():
+        def f(p):
+            return block_window_forward(p, stats, cfg, bb, True,
+                                        defer_loss=defer)
+        (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, aux, grads
+
+    monkeypatch.setenv("TM_PREFIX_K", "1")
+    l1, a1, g1 = run()
+    monkeypatch.setenv("TM_PREFIX_K", str(k))
+    lk, ak, gk = run()
+    np.testing.assert_allclose(float(lk), float(l1), rtol=1e-5)
+    for key in ("tp", "fp", "fn"):
+        assert int(ak[key]) == int(a1[key]), key
+    _assert_tree_close(gk, g1, rtol=1e-4)
+    _assert_tree_close(ak["batch_stats"], a1["batch_stats"], rtol=1e-4)
+
+
 def test_block_ragged_batch_with_ended_windows():
     """Windows of different lengths: ended windows freeze their state and
     contribute nothing to later steps (the any_valid/valid masking)."""
@@ -180,6 +234,32 @@ def test_block_gat_matches_packed(monkeypatch, train, fused):
     if train:
         _assert_tree_close(gb, gp)
         _assert_tree_close(ab["batch_stats"], ap["batch_stats"])
+
+
+def test_block_gat_xla_attention_with_fused_round(monkeypatch):
+    """gat_fused=False keeps the fused Pallas round but routes attention
+    through XLA — the production fallback when the stacked-head kernels
+    fail to compile at some (nh, G, K) (train/block.py gat_fallback).
+    Numerics must equal the fully-fused path (dropout off)."""
+    monkeypatch.setattr(mpnn, "ATT_DROPOUT", 0.0)
+    cfg, params, stats = _gat_model(nattheads=3)
+    bb = build_block_batch(build(3), TCAP)
+    rng = jax.random.key(11)
+
+    def run(gat_fused):
+        def f(p):
+            return block_window_forward(p, stats, cfg, bb, True, train=True,
+                                        rng=rng, fused=True,
+                                        gat_fused=gat_fused)
+        (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, aux, grads
+
+    lf, af, gf = run(True)
+    lx, ax, gx = run(False)
+    np.testing.assert_allclose(float(lx), float(lf), rtol=1e-4)
+    for k in ("tp", "fp", "fn"):
+        assert int(ax[k]) == int(af[k]), k
+    _assert_tree_close(gx, gf)
 
 
 def test_block_gat_dropout_trains():

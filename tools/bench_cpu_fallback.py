@@ -72,7 +72,7 @@ def main():
         "packed", {"fn": fn, "opt_state": tx.init(params)},
         pack_schedules(schedules, cap, t_cap), repeats)
 
-    dt_torch, torch_edges = bench.bench_torch(schedules, cap, t_cap)
+    dt_torch, _dt_med, torch_edges = bench.bench_torch(schedules, cap, t_cap)
     base_eps = torch_edges / dt_torch
     print(f"torch baseline: {dt_torch:.2f}s for {torch_edges} edges "
           f"= {base_eps:,.0f} edges/s")

@@ -1,0 +1,92 @@
+"""On-chip K=T numerics pin (VERDICT r4 task #4): loss AND grads at the
+TPU production prefix-segment count (K=min(T,16)) must match K=1 (single
+full-width scan) and K=4 at bench shapes (B=8, cap 4096, T=16).
+
+Every earlier K sweep recorded only ms/step; this asserts the segment-
+boundary carry handoff is numerically exact where it actually runs.  Two
+configs per K: the production one (fused round, bf16, defer-loss — loose
+tolerance, bf16 reassociation differs across segment boundaries) and the
+plain f32 XLA path (tight tolerance).
+
+  nohup python tools/check_prefix_k.py > logs/check_prefix_k.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from trackmpnn_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench
+from trackmpnn_tpu.models import mpnn
+from trackmpnn_tpu.train.block import block_window_forward, build_block_batch
+
+
+def run_cfg(bb, *, fused, dtype, defer, k):
+    os.environ["TM_PREFIX_K"] = str(k)
+    cfg = mpnn.ModelConfig(features="2d", ncategories=3, nhidden=64)
+    params = mpnn.init_params(jax.random.key(0), cfg)
+    stats = mpnn.init_batch_stats(cfg)
+
+    @jax.jit
+    def f(p):
+        return block_window_forward(p, stats, cfg, bb, False, fused=fused,
+                                    compute_dtype=dtype, defer_loss=defer)
+
+    (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+    jax.block_until_ready(loss)
+    return (float(loss), {k_: int(aux[k_]) for k_ in ("tp", "fp", "fn")},
+            jax.tree_util.tree_map(np.asarray, grads))
+
+
+def compare(tag, base, other, rtol):
+    l0, a0, g0 = base
+    l1, a1, g1 = other
+    ok = True
+    if not np.isclose(l1, l0, rtol=rtol):
+        print(f"{tag}: LOSS MISMATCH {l1} vs {l0}")
+        ok = False
+    if a1 != a0:
+        print(f"{tag}: AUX MISMATCH {a1} vs {a0}")
+        ok = False
+    worst = 0.0
+    for x, y in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g0)):
+        denom = np.maximum(np.abs(y), 1e-6)
+        worst = max(worst, float(np.max(np.abs(x - y) / denom)))
+    if worst > rtol * 30:
+        print(f"{tag}: GRAD MISMATCH worst rel err {worst:.3e}")
+        ok = False
+    print(f"{tag}: {'OK' if ok else 'FAIL'} loss={l1:.6f} "
+          f"worst_grad_rel={worst:.3e}", flush=True)
+    return ok
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    schedules, cap, t_cap = bench.build_workload()
+    bb = build_block_batch(schedules, t_cap)
+    all_ok = True
+    for fused, dtype, defer, rtol, name in (
+            (True, jnp.bfloat16, True, 2e-2, "prod(fused,bf16,defer)"),
+            (False, None, False, 1e-4, "xla(f32)")):
+        base = run_cfg(bb, fused=fused, dtype=dtype, defer=defer, k=1)
+        print(f"{name} K=1: loss={base[0]:.6f} aux={base[1]}", flush=True)
+        for k in (4, 16):
+            other = run_cfg(bb, fused=fused, dtype=dtype, defer=defer, k=k)
+            all_ok &= compare(f"{name} K={k} vs K=1", base, other, rtol)
+    print("ALL OK" if all_ok else "FAILURES PRESENT", flush=True)
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -257,7 +257,11 @@ def main(argv: Optional[List[str]] = None):
     # strictly batch-1 single-device)
     mesh_axes = _parse_mesh(args.mesh)
     batch_windows = max(args.batch_windows, 1)
-    use_batched = batch_windows > 1 or mesh_axes is not None
+    # TM_FORCE_BLOCK=1 routes --batch-windows 1 through the batched block
+    # path too (A/B: isolates single-window-path vs update-cadence effects,
+    # round-5 BDD bw=1 bisect)
+    use_batched = (batch_windows > 1 or mesh_axes is not None
+                   or os.environ.get("TM_FORCE_BLOCK", "") == "1")
     data_only_mesh = mesh_axes is not None and set(mesh_axes) == {"data"}
     use_packed = use_batched and mesh_axes is None
     # TM_PACKED=1 forces the slower packed block-diagonal path (A/B debugging)

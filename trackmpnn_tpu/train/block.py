@@ -521,7 +521,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                          bb: BlockBatch, tp_classifier: bool,
                          train: bool = True, remat: bool = False,
                          compute_dtype=None, rng=None, fused: bool = False,
-                         axis_name=None, defer_loss: bool = False):
+                         axis_name=None, defer_loss: bool = False,
+                         gat_fused=None):
     """Scan the window in dual layout; same contract as packed_window_forward.
 
     remat=True wraps the scan body in jax.checkpoint: the step is bandwidth-
@@ -566,6 +567,14 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     # aggregation (attention-weighted sums in _block_gat_support), not the
     # edge GRU the kernel computes; its rs/cs outputs just go unused there.
     use_fused = fused
+    # gat_fused=None follows use_fused; False keeps the fused round but
+    # routes the attention aggregation through XLA (the fallback when the
+    # stacked-head kernels fail to compile at some G/K/nh — seen at
+    # nattheads=3, G=4, K=16 on this toolchain).  TM_GAT_XLA=1 forces it.
+    if gat_fused is None:
+        gat_fused = use_fused
+    gat_fused = (gat_fused and cfg.nattheads > 0
+                 and os.environ.get("TM_GAT_XLA", "") != "1")
     # The fused LOSS kernels are correct but measured SLOWER than the XLA
     # loss path (16.0 vs 14.2 ms/step: 3 extra kernel launches/step exceed
     # the ~3 ms of small fusions they replace; docs/RESULTS.md) - opt-in
@@ -832,8 +841,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                 h_e_att = h_e_sl if use_fused else h_e_b
                 es = _block_gat_support(bp["gat"], h_d_b, h_e_att, v.act,
                                         v.new, em3, v.seg, vm, nD, rng_sb,
-                                        train, fused=use_fused, m3=m3,
-                                        interp=interp if use_fused else False)
+                                        train, fused=gat_fused, m3=m3,
+                                        interp=interp if gat_fused else False)
             else:
                 if not use_fused:
                     # edge_support partials: +rows to active, -cols to new
@@ -949,28 +958,52 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     l_ce = l_f = zero
     tp = fp = fn = jnp.int32(0)
     if defer_loss:
-        for lo, hi, v, (hd_k, le_k) in seg_outs:
-            # one batched head matmul over the segment's steps, then the
-            # loss side vmapped over the step axis: every fusion launches
-            # once per segment on [T_k, ...] arrays instead of T times
-            ld_k = nn.linear(params["out_node"], hd_k)[..., 0]  # [T_k, nD]
+        # MERGED deferred loss (round 5): at K=T the per-segment loss pass
+        # multiplied every loss fusion by K (~16x of the 589 residual
+        # fusions / 2.72 ms in logs/profile_block_kT.log).  Dead blocks of
+        # early steps are already zeroed by the per-step masks (blk_live =
+        # bs <= s), so padding each segment's edge logits out to the full
+        # B*T block axis and running ONE vmapped loss pass over all T steps
+        # is numerically identical to the per-segment (and K=1) form.
+        # TM_SPLIT_LOSS=1 restores the per-segment pass for A/B.
+        merged = os.environ.get("TM_SPLIT_LOSS", "") != "1"
 
-            def loss_at(s, logits_d, logits_e, v=v):
-                any_valid, _, det_live, _, blk_live, em3 = live_masks(s, v)
-                logits_d = jnp.where(det_live, logits_d, 0.0)
-                logits_e = jnp.where(em3, logits_e.astype(jnp.float32), 0.0)
-                a, b, c, d, e = step_losses(logits_d, logits_e, det_live,
-                                            blk_live, em3, v)
-                return (jnp.where(any_valid, a, zero),
-                        jnp.where(any_valid, b, zero), c, d, e)
+        def loss_at(s, logits_d, logits_e, v):
+            any_valid, _, det_live, _, blk_live, em3 = live_masks(s, v)
+            logits_d = jnp.where(det_live, logits_d, 0.0)
+            logits_e = jnp.where(em3, logits_e.astype(jnp.float32), 0.0)
+            a, b, c, d, e = step_losses(logits_d, logits_e, det_live,
+                                        blk_live, em3, v)
+            return (jnp.where(any_valid, a, zero),
+                    jnp.where(any_valid, b, zero), c, d, e)
 
-            lc_k, lf_k, tp_k, fp_k, fn_k = jax.vmap(loss_at)(
-                jnp.arange(lo, hi), ld_k, le_k)
-            l_ce = l_ce + jnp.sum(lc_k)
-            l_f = l_f + jnp.sum(lf_k)
-            tp = tp + jnp.sum(tp_k)
-            fp = fp + jnp.sum(fp_k)
-            fn = fn + jnp.sum(fn_k)
+        if merged:
+            v_full = seg_view(B * T)
+            hd_all = jnp.concatenate([hd_k for _, _, _, (hd_k, _) in seg_outs])
+            le_all = jnp.concatenate([
+                jnp.pad(le_k, ((0, 0), (0, B * T - le_k.shape[1]), (0, 0),
+                               (0, 0)))
+                for _, _, _, (_, le_k) in seg_outs])
+            ld_all = nn.linear(params["out_node"], hd_all)[..., 0]  # [T, nD]
+            lc_k, lf_k, tp_k, fp_k, fn_k = jax.vmap(
+                lambda s, d, e: loss_at(s, d, e, v_full))(
+                    jnp.arange(T), ld_all, le_all)
+            l_ce, l_f = jnp.sum(lc_k), jnp.sum(lf_k)
+            tp, fp, fn = jnp.sum(tp_k), jnp.sum(fp_k), jnp.sum(fn_k)
+        else:
+            for lo, hi, v, (hd_k, le_k) in seg_outs:
+                # one batched head matmul over the segment's steps, then the
+                # loss side vmapped over the step axis: every fusion launches
+                # once per segment on [T_k, ...] arrays instead of T times
+                ld_k = nn.linear(params["out_node"], hd_k)[..., 0]  # [T_k, nD]
+                lc_k, lf_k, tp_k, fp_k, fn_k = jax.vmap(
+                    lambda s, d, e, v=v: loss_at(s, d, e, v))(
+                        jnp.arange(lo, hi), ld_k, le_k)
+                l_ce = l_ce + jnp.sum(lc_k)
+                l_f = l_f + jnp.sum(lf_k)
+                tp = tp + jnp.sum(tp_k)
+                fp = fp + jnp.sum(fp_k)
+                fn = fn + jnp.sum(fn_k)
     else:
         for lo, hi, v, (lc_k, lf_k, tp_k, fp_k, fn_k) in seg_outs:
             l_ce = l_ce + jnp.sum(lc_k)
@@ -990,7 +1023,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
 
 def make_block_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool,
                           remat=None, compute_dtype=None,
-                          fused: bool = False, defer_loss: bool = False):
+                          fused: bool = False, defer_loss: bool = False,
+                          gat_fused=None, gat_fallback: bool = True):
     """jit'd full train step over a BlockBatch (drop-in for the packed one).
 
     remat=None resolves per path (measured on v5e, B=8/cap=4096):
@@ -1000,24 +1034,62 @@ def make_block_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool,
         VJP re-derives the gates from the inputs), so remat only re-runs
         the kernel for residuals that are cheap to stream (16.8 -> 14.2 ms
         without it).
-    compute_dtype: see block_window_forward (bf16 rectangles + matmuls)."""
+    compute_dtype: see block_window_forward (bf16 rectangles + matmuls).
+
+    gat_fused/gat_fallback: the stacked-head GAT kernels fail to COMPILE at
+    some (nattheads, G, K) points on this toolchain (tpu_compile_helper
+    crash at nh=3, G=4, K=16 — not a VMEM OOM, logs/bench_r4_gat_g4.log).
+    With gat_fallback=True (default) the first invocation is probed: a
+    JaxRuntimeError rebuilds the step with gat_fused=False (XLA attention,
+    fused round kept) so no flag combination crashes the CLI."""
     if remat is None:
         remat = not fused
 
-    def loss_fn(params, batch_stats, bb, rng):
-        return block_window_forward(params, batch_stats, cfg, bb,
-                                    tp_classifier, remat=remat,
-                                    compute_dtype=compute_dtype, rng=rng,
-                                    fused=fused, defer_loss=defer_loss)
+    def build(gf):
+        def loss_fn(params, batch_stats, bb, rng):
+            return block_window_forward(params, batch_stats, cfg, bb,
+                                        tp_classifier, remat=remat,
+                                        compute_dtype=compute_dtype, rng=rng,
+                                        fused=fused, defer_loss=defer_loss,
+                                        gat_fused=gf)
 
-    @jax.jit
-    def step(params, batch_stats, opt_state, bb: BlockBatch, rng=None):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, bb, rng)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        return params, aux["batch_stats"], opt_state, loss, {
-            k: aux[k] for k in ("loss_ce", "loss_f", "tp", "fp", "fn")
-        }
+        @jax.jit
+        def step(params, batch_stats, opt_state, bb: BlockBatch, rng=None):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, bb, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+            return params, aux["batch_stats"], opt_state, loss, {
+                k: aux[k] for k in ("loss_ce", "loss_f", "tp", "fp", "fn")
+            }
 
-    return step
+        return step
+
+    step = build(gat_fused)
+    if not (gat_fallback and fused and cfg.nattheads > 0
+            and gat_fused is not False):
+        return step
+
+    chosen = []
+
+    def step_with_fallback(*a, **kw):
+        if chosen:
+            return chosen[0](*a, **kw)
+        try:
+            out = step(*a, **kw)
+            jax.block_until_ready(out[3])  # surface compile/run errors NOW
+            chosen.append(step)
+            return out
+        except jax.errors.JaxRuntimeError as e:
+            import warnings
+
+            warnings.warn(
+                "fused GAT kernels failed to compile at this config "
+                f"({type(e).__name__}); falling back to XLA attention "
+                "(fused round kept). Set TM_GAT_XLA=1 to skip the probe.")
+            fb = build(False)
+            chosen.append(fb)
+            return fb(*a, **kw)
+
+    return step_with_fallback
