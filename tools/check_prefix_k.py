@@ -49,6 +49,11 @@ def run_cfg(bb, *, fused, dtype, defer, k):
 
 
 def compare(tag, base, other, rtol):
+    """|x-y| <= atol + rtol'*|y| elementwise (the tests' _assert_tree_close
+    contract): without the absolute floor, noise on near-zero grad elements
+    reads as O(1) relative error (the first on-chip capture did exactly
+    that).  atol scales with each leaf's magnitude so big-grad leaves get a
+    proportional floor."""
     l0, a0, g0 = base
     l1, a1, g1 = other
     ok = True
@@ -58,16 +63,21 @@ def compare(tag, base, other, rtol):
     if a1 != a0:
         print(f"{tag}: AUX MISMATCH {a1} vs {a0}")
         ok = False
-    worst = 0.0
+    worst = 0.0   # worst violation factor of the atol+rtol envelope
+    worst_abs = 0.0
+    rtol_g = rtol * 30
     for x, y in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g0)):
-        denom = np.maximum(np.abs(y), 1e-6)
-        worst = max(worst, float(np.max(np.abs(x - y) / denom)))
-    if worst > rtol * 30:
-        print(f"{tag}: GRAD MISMATCH worst rel err {worst:.3e}")
+        scale = max(float(np.max(np.abs(y))), 1e-8)
+        atol = 1e-5 * scale
+        viol = np.abs(x - y) / (atol + rtol_g * np.abs(y))
+        worst = max(worst, float(np.max(viol)))
+        worst_abs = max(worst_abs, float(np.max(np.abs(x - y))))
+    if worst > 1.0:
+        print(f"{tag}: GRAD MISMATCH envelope violation x{worst:.2f}")
         ok = False
     print(f"{tag}: {'OK' if ok else 'FAIL'} loss={l1:.6f} "
-          f"worst_grad_rel={worst:.3e}", flush=True)
+          f"worst_env={worst:.3f} worst_abs={worst_abs:.3e}", flush=True)
     return ok
 
 
@@ -81,6 +91,11 @@ def main():
             (False, None, False, 1e-4, "xla(f32)")):
         base = run_cfg(bb, fused=fused, dtype=dtype, defer=defer, k=1)
         print(f"{name} K=1: loss={base[0]:.6f} aux={base[1]}", flush=True)
+        # determinism control: a fresh jit of the SAME program bounds the
+        # noise floor any K comparison sits on (TPU reduction order)
+        rpt = run_cfg(bb, fused=fused, dtype=dtype, defer=defer, k=1)
+        compare(f"{name} K=1 vs K=1 (fresh jit, noise floor)", base, rpt,
+                rtol)
         for k in (4, 16):
             other = run_cfg(bb, fused=fused, dtype=dtype, defer=defer, k=k)
             all_ok &= compare(f"{name} K={k} vs K=1", base, other, rtol)

@@ -38,11 +38,16 @@ DEFER = os.environ.get("DEFER", "1") == "1"
 NATT = int(os.environ.get("NATT", "0"))  # GAT attention heads
 NSTEPS = int(os.environ.get("NSTEPS", "6"))
 TOPK = int(os.environ.get("TOPK", "40"))
+# TOP_RAW=1: ALSO rank individual ops (full fusion.N names, no prefix
+# aggregation) and print each one's optimized-HLO definition line (root
+# expression + shapes) so the top fusions can be attacked by content.
+TOP_RAW = os.environ.get("TOP_RAW", "") == "1"
 
 
 def op_breakdown(trace_dir):
     per_op = collections.Counter()
     count = collections.Counter()
+    per_raw = collections.Counter()
     for f in glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                        recursive=True):
         with gzip.open(f, "rt") as fh:
@@ -58,10 +63,19 @@ def op_breakdown(trace_dir):
         for e in events:
             if (e.get("ph") == "X" and "dur" in e
                     and (e.get("pid"), e.get("tid")) in op_tracks):
-                name = re.sub(r"[.\d]+$", "", e.get("name", ""))
+                raw = e.get("name", "")
+                name = re.sub(r"[.\d]+$", "", raw)
                 per_op[name] += e["dur"]
                 count[name] += 1
-    return per_op, count
+                per_raw[raw] += e["dur"]
+    return per_op, count, per_raw
+
+
+def hlo_def_line(hlo_text, op_name):
+    """The optimized-HLO definition of `op_name` (root expr + shapes)."""
+    m = re.search(r"^\s*(?:ROOT )?%?" + re.escape(op_name) + r"\s*=\s*(.+)$",
+                  hlo_text, re.M)
+    return m.group(1) if m else "(not found in HLO)"
 
 
 def main():
@@ -98,12 +112,21 @@ def main():
             out = one()
         jax.block_until_ready(out)
 
-    per_op, count = op_breakdown(trace_dir)
+    per_op, count, per_raw = op_breakdown(trace_dir)
     total = sum(per_op.values())
     print(f"total device op time: {total/NSTEPS/1e3:.2f} ms/step "
           f"({len(per_op)} distinct ops)", flush=True)
     for name, dur in per_op.most_common(TOPK):
         print(f"{dur/NSTEPS/1e3:9.3f} ms/step  x{count[name]//NSTEPS:<5d} {name[:110]}")
+
+    if TOP_RAW:
+        print("\n---- top individual ops (HLO definitions) ----", flush=True)
+        hlo = step.lower(state[0], state[1], state[2], bb).compile().as_text()
+        with open("/tmp/block_hlo.txt", "w") as fh:
+            fh.write(hlo)
+        for raw, dur in per_raw.most_common(TOPK):
+            print(f"{dur/NSTEPS/1e3:9.3f} ms/step  {raw}")
+            print(f"           {hlo_def_line(hlo, raw)[:240]}")
 
 
 if __name__ == "__main__":

@@ -958,15 +958,17 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     l_ce = l_f = zero
     tp = fp = fn = jnp.int32(0)
     if defer_loss:
-        # MERGED deferred loss (round 5): at K=T the per-segment loss pass
-        # multiplied every loss fusion by K (~16x of the 589 residual
-        # fusions / 2.72 ms in logs/profile_block_kT.log).  Dead blocks of
-        # early steps are already zeroed by the per-step masks (blk_live =
-        # bs <= s), so padding each segment's edge logits out to the full
-        # B*T block axis and running ONE vmapped loss pass over all T steps
-        # is numerically identical to the per-segment (and K=1) form.
-        # TM_SPLIT_LOSS=1 restores the per-segment pass for A/B.
-        merged = os.environ.get("TM_SPLIT_LOSS", "") != "1"
+        # MERGED deferred loss (round-5 experiment, opt-in TM_MERGED_LOSS=1):
+        # pad each segment's edge logits to the full B*T block axis and run
+        # ONE vmapped loss pass over all T steps — numerically identical to
+        # the per-segment form (dead blocks are masked by blk_live), and it
+        # collapses the Kx duplication of every loss fusion.  MEASURED
+        # SLOWER on-chip (7.02 vs 6.54 ms at B=8, logs/bench_merged_loss.log):
+        # the merged pass computes every step at full B*T width while the
+        # per-segment pass runs step s at its true prefix width (s+1)*B, and
+        # that ~2x masked elementwise work costs more than the launch
+        # savings.  Default stays per-segment.
+        merged = os.environ.get("TM_MERGED_LOSS", "") == "1"
 
         def loss_at(s, logits_d, logits_e, v):
             any_valid, _, det_live, _, blk_live, em3 = live_masks(s, v)
