@@ -66,10 +66,16 @@ def compare(tag, base, other, rtol):
     worst = 0.0   # worst violation factor of the atol+rtol envelope
     worst_abs = 0.0
     rtol_g = rtol * 30
+    # atol floors on the GLOBAL gradient scale: leaves whose true grad is
+    # ~0 (e.g. lin1.b — BN right after cancels the bias exactly) carry
+    # pure f32 reassociation noise at any K; per-leaf floors flagged them
+    # at x4000 "violations" with absolute diffs of 1e-6 of the gradient
+    # magnitude (logs/check_prefix_k2.log)
+    gscale = max(float(np.max(np.abs(y)))
+                 for y in jax.tree_util.tree_leaves(g0))
+    atol = 1e-5 * gscale
     for x, y in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g0)):
-        scale = max(float(np.max(np.abs(y))), 1e-8)
-        atol = 1e-5 * scale
         viol = np.abs(x - y) / (atol + rtol_g * np.abs(y))
         worst = max(worst, float(np.max(viol)))
         worst_abs = max(worst_abs, float(np.max(np.abs(x - y))))

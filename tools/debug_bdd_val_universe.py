@@ -5,11 +5,20 @@ ours, then re-run BOTH mAP implementations on the SAME (ref-loaded)
 tensors to separate loader differences from metric differences.
 
   python tools/debug_bdd_val_universe.py
+
+NOT IMPORTABLE: this script patches the global numpy namespace (np.str)
+and leaves reference modules cached in sys.modules — run it standalone
+only (the guard below refuses import).
 """
 
 import os
 import sys
 import types
+
+if __name__ != "__main__":
+    raise ImportError("debug_bdd_val_universe.py is a standalone script: "
+                      "it monkey-patches numpy (np.str) and sys.modules; "
+                      "do not import it from tests or other tools")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
