@@ -293,6 +293,29 @@ def test_block_gat_requires_rng_in_train():
 
 
 @pytest.mark.parametrize("msg_type", ["diff", "concat"])
+def test_block_es_kernel_matches_partials_round(monkeypatch, msg_type):
+    """The scatter-free round (fused_block_round_es: gather + edge_support
+    INSIDE the kernel via per-window one-hot matmuls) == the rs/cs-partials
+    kernel + XLA segment_sum: loss, counts, grads."""
+    cfg, params, stats = _model(msg_type, seed=13)
+    bb = build_block_batch(build(3, seed0=20), TCAP)
+
+    def run(es):
+        monkeypatch.setenv("TM_ES_KERNEL", "1" if es else "0")
+        def f(p):
+            return block_window_forward(p, stats, cfg, bb, True, fused=True)
+        (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, aux, grads
+
+    lp, ap, gp = run(False)
+    le, ae, ge = run(True)
+    np.testing.assert_allclose(float(le), float(lp), rtol=1e-5)
+    for k in ("tp", "fp", "fn"):
+        assert int(ae[k]) == int(ap[k]), k
+    _assert_tree_close(ge, gp)
+
+
+@pytest.mark.parametrize("msg_type", ["diff", "concat"])
 def test_block_fused_round_matches_xla(msg_type):
     """fused=True (Pallas round, interpret mode on CPU) == XLA block path:
     loss, aux and grads."""

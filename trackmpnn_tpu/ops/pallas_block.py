@@ -262,6 +262,281 @@ def _bwd(sign, mm_dtype, g, interpret, res, grads):
 fused_block_round.defvjp(_fwd, _bwd)
 
 
+# --------------------------------------------------------------------------
+# Scatter-free round: the es variant (round 5).
+#
+# The round-5 TOP_RAW profile (logs/profile_block_r5.log) shows the fused
+# step's residual cost is NOT launch overhead (kernel time scales ~1.16 us
+# per block with near-zero intercept) but the XLA ops AROUND the kernel:
+# ~30 scatter-adds ([B*capD,64] es segment-sum fwd, [B*capD,192] dga/dgb
+# bwd) at XLA's ~13-14 ns/row serialization floor plus the ga_d[act] /
+# gb_d[new] gathers — together ~1.2 ms of the 6.54 ms step.  This variant
+# moves BOTH into the kernel as per-window one-hot matmuls: a detection's
+# global id is w*capD + local, so each block only ever gathers/scatters
+# within its window's 256-row universe, and a [capD, na] one-hot (built
+# from an iota compare) turns gather into onehot^T @ ga_d[window] and
+# scatter into onehot @ rs — tiny MXU matmuls (~60 us/step total) instead
+# of serialized row walks.  The window base is w = q % B (step-major block
+# order), a pure function of the program id: no scalar prefetch needed.
+#
+# Used by train/block.py when fused + nattheads == 0 (the production
+# config); GAT configs keep fused_block_round + their own aggregation.
+# --------------------------------------------------------------------------
+
+
+def _onehot_t(idx_ref, gi, capd, n, dtype):
+    """[capD, n] one-hot transpose: column j has a 1 at row idx[j].
+
+    idx arrives f32 (int values; f32 avoids integer-cotangent plumbing in
+    the custom VJP), compared against an i32 iota cast to f32 (a direct
+    f32 broadcasted_iota fails Mosaic verification)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (capd, n), 0).astype(
+        jnp.float32)
+    row = idx_ref[pl.ds(gi, 1)]                        # [1, n] f32
+    return (iota == row).astype(dtype)
+
+
+def _es_fwd_kernel(he_ref, act_ref, new_ref, gad_ref, gbd_ref, bih_ref,
+                   whh_ref, bhh_ref, web_ref, m_ref,
+                   eo_ref, lg_ref, es_ref, *, sign, mm_dtype, B, capD, G):
+    H = he_ref.shape[-1]
+    na, nt = he_ref.shape[1], he_ref.shape[2]
+    mmd = mm_dtype or jnp.float32
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _zero():
+        es_ref[:] = jnp.zeros_like(es_ref)
+
+    for gi in range(G):
+        base = ((pid * G + gi) % B) * capD
+        oh_a = _onehot_t(act_ref, gi, capD, na, mmd)   # [capD, na]
+        oh_n = _onehot_t(new_ref, gi, capD, nt, mmd)   # [capD, nt]
+        gad = gad_ref[pl.ds(base, capD)]               # [capD, 3H]
+        gbd = gbd_ref[pl.ds(base, capD)]
+        # gather by matmul: rows i of ga = ga_d[act[i]]
+        ga = jax.lax.dot_general(oh_a, gad.astype(mmd), (((0,), (0,)),
+                                                         ((), ())),
+                                 preferred_element_type=jnp.float32)
+        gb = jax.lax.dot_general(oh_n, gbd.astype(mmd), (((0,), (0,)),
+                                                         ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ga = ga + bih_ref[:]
+        m = m_ref[pl.ds(gi, 1)].reshape(na, nt)[..., None]
+        he_m = he_ref[pl.ds(gi, 1)].reshape(na, nt, H).astype(
+            jnp.float32) * m
+        gh = _mm(he_m.reshape(na * nt, H), whh_ref[:], mm_dtype).reshape(
+            na, nt, 3 * H) + bhh_ref[:]
+        gi_g = ga[:, None, :] + sign * gb[None, :, :]
+        r = jax.nn.sigmoid(gi_g[..., :H] + gh[..., :H])
+        z = jax.nn.sigmoid(gi_g[..., H:2 * H] + gh[..., H:2 * H])
+        n = jnp.tanh(gi_g[..., 2 * H:] + r * gh[..., 2 * H:])
+        eo = ((1.0 - z) * n + z * he_m) * m
+        eo_ref[pl.ds(gi, 1)] = eo.reshape(1, na, nt, H).astype(eo_ref.dtype)
+        lg_ref[pl.ds(gi, 1)] = jnp.dot(
+            eo.reshape(na * nt, H), web_ref[:],
+            preferred_element_type=jnp.float32).reshape(1, na, nt)
+        rs = jnp.sum(he_m, axis=1)                     # [na, H]
+        cs = jnp.sum(he_m, axis=0)                     # [nt, H]
+        contrib = (jnp.dot(oh_a, rs.astype(mmd),
+                           preferred_element_type=jnp.float32)
+                   - jnp.dot(oh_n, cs.astype(mmd),
+                             preferred_element_type=jnp.float32))
+        es_ref[pl.ds(base, capD)] += contrib
+
+
+def _es_bwd_kernel(he_ref, act_ref, new_ref, gad_ref, gbd_ref, bih_ref,
+                   whh_ref, whh_t_ref, bhh_ref, web_ref, m_ref,
+                   geo_ref, glg_ref, ges_ref,
+                   dhe_ref, dgad_ref, dgbd_ref, dbih_ref, dwhh_ref,
+                   dbhh_ref, dweb_ref, *, sign, mm_dtype, B, capD, G):
+    H = he_ref.shape[-1]
+    na, nt = he_ref.shape[1], he_ref.shape[2]
+    mmd = mm_dtype or jnp.float32
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _zero():
+        dgad_ref[:] = jnp.zeros_like(dgad_ref)
+        dgbd_ref[:] = jnp.zeros_like(dgbd_ref)
+        dbih_ref[:] = jnp.zeros_like(dbih_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
+        dweb_ref[:] = jnp.zeros_like(dweb_ref)
+
+    for gi in range(G):
+        base = ((pid * G + gi) % B) * capD
+        oh_a = _onehot_t(act_ref, gi, capD, na, mmd)
+        oh_n = _onehot_t(new_ref, gi, capD, nt, mmd)
+        gad = gad_ref[pl.ds(base, capD)]
+        gbd = gbd_ref[pl.ds(base, capD)]
+        ga = jax.lax.dot_general(oh_a, gad.astype(mmd), (((0,), (0,)),
+                                                         ((), ())),
+                                 preferred_element_type=jnp.float32)
+        gb = jax.lax.dot_general(oh_n, gbd.astype(mmd), (((0,), (0,)),
+                                                         ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ga = ga + bih_ref[:]
+        m = m_ref[pl.ds(gi, 1)].reshape(na, nt)[..., None]
+        he_m = he_ref[pl.ds(gi, 1)].reshape(na, nt, H).astype(
+            jnp.float32) * m
+        gh = _mm(he_m.reshape(na * nt, H), whh_ref[:], mm_dtype).reshape(
+            na, nt, 3 * H) + bhh_ref[:]
+        gi_g = ga[:, None, :] + sign * gb[None, :, :]
+        r = jax.nn.sigmoid(gi_g[..., :H] + gh[..., :H])
+        z = jax.nn.sigmoid(gi_g[..., H:2 * H] + gh[..., H:2 * H])
+        ghn = gh[..., 2 * H:]
+        n = jnp.tanh(gi_g[..., 2 * H:] + r * ghn)
+
+        glg = glg_ref[pl.ds(gi, 1)].reshape(na, nt)
+        go = (geo_ref[pl.ds(gi, 1)].reshape(na, nt, H).astype(jnp.float32)
+              + glg[..., None] * web_ref[:].reshape(1, 1, H)) * m
+        eo = ((1.0 - z) * n + z * he_m) * m
+        dweb = jnp.sum((eo * glg[..., None]).reshape(na * nt, H), axis=0,
+                       keepdims=True)
+        dz = go * (he_m - n)
+        dpre_n = go * (1.0 - z) * (1.0 - n * n)
+        dpre_r = dpre_n * ghn * r * (1.0 - r)
+        dpre_z = dz * z * (1.0 - z)
+        dgh = jnp.concatenate([dpre_r, dpre_z, dpre_n * r], axis=-1)
+        dgi = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1)
+
+        des = ges_ref[pl.ds(base, capD)]               # [capD, H]
+        drs = jax.lax.dot_general(oh_a, des.astype(mmd), (((0,), (0,)),
+                                                          ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dcs = jax.lax.dot_general(oh_n, des.astype(mmd), (((0,), (0,)),
+                                                          ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dhe_m = (go * z
+                 + _mm(dgh.reshape(na * nt, 3 * H), whh_t_ref[:],
+                       mm_dtype).reshape(na, nt, H)
+                 + drs[:, None, :] - dcs[None, :, :])
+        dhe_ref[pl.ds(gi, 1)] = (dhe_m * m).reshape(
+            1, na, nt, H).astype(dhe_ref.dtype)
+
+        dga_rows = jnp.sum(dgi, axis=1)                # [na, 3H]
+        dgb_rows = sign * jnp.sum(dgi, axis=0)         # [nt, 3H]
+        dgad_ref[pl.ds(base, capD)] += jnp.dot(
+            oh_a, dga_rows.astype(mmd), preferred_element_type=jnp.float32)
+        dgbd_ref[pl.ds(base, capD)] += jnp.dot(
+            oh_n, dgb_rows.astype(mmd), preferred_element_type=jnp.float32)
+        dbih_ref[:] += jnp.sum(dga_rows, axis=0, keepdims=True)
+        dwhh_ref[:] += _mm(he_m.reshape(na * nt, H).T,
+                           dgh.reshape(na * nt, 3 * H), mm_dtype)
+        dbhh_ref[:] += jnp.sum(dgh, axis=(0, 1)).reshape(1, 3 * H)
+        dweb_ref[:] += dweb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+def fused_block_round_es(h_e, act_l, new_l, ga_d, gb_d, b_ih, w_hh, b_hh,
+                         w_eb, mask3, sign, mm_dtype, B, capD,
+                         g=DEFAULT_G, interpret=False):
+    """(edge_out, logit, es) for one round — scatter-free es variant.
+
+    Same math as fused_block_round, but the input-gate gather
+    (ga_d[act] + b_ih / gb_d[new]) and the edge_support reduction
+    (es[d] = sum of incident row sums - col sums) happen INSIDE the
+    kernel via per-window one-hot matmuls, so the step needs no XLA
+    gather/scatter around the round at all.
+
+    h_e [BT,na,nt,H]; act_l/new_l [BT,na|nt] f32 window-LOCAL det ids
+    (global id % capD; f32 so the VJP has float cotangent slots);
+    ga_d/gb_d [B*capD, 3H] detection-layout input-gate matmuls (pass the
+    same array twice for msg 'diff'; AD sums the cotangents); mask3
+    [BT,na,nt] f32.  Block q is window q % B (step-major order).
+    Returns es f32 [B*capD, H]."""
+    out, _ = _es_fwd(h_e, act_l, new_l, ga_d, gb_d, b_ih, w_hh, b_hh, w_eb,
+                     mask3, sign, mm_dtype, B, capD, g, interpret)
+    return out
+
+
+def _es_fwd(h_e, act_l, new_l, ga_d, gb_d, b_ih, w_hh, b_hh, w_eb, mask3,
+            sign, mm_dtype, B, capD, g, interpret):
+    BT, na, nt, H = h_e.shape
+    nD = B * capD
+    bt_pad = -(-BT // g) * g
+    he_p, act_p, new_p, m_p = (_pad_bt(x, bt_pad)
+                               for x in (h_e, act_l, new_l, mask3))
+    bhh2 = b_hh.reshape(1, 3 * H)
+    bih2 = b_ih.reshape(1, 3 * H)
+
+    kernel = functools.partial(_es_fwd_kernel, sign=sign, mm_dtype=mm_dtype,
+                               B=B, capD=capD, G=g)
+    eo, lg, es = pl.pallas_call(
+        kernel,
+        grid=(bt_pad // g,),
+        in_specs=_specs([he_p.shape, act_p.shape, new_p.shape], g)
+        + [_const_spec(ga_d.shape), _const_spec(gb_d.shape),
+           _const_spec(bih2.shape), _const_spec(w_hh.shape),
+           _const_spec(bhh2.shape), _const_spec(w_eb.shape)]
+        + _specs([m_p.shape], g),
+        out_specs=tuple(_specs([(bt_pad, na, nt, H), (bt_pad, na, nt)], g)
+                        + [_const_spec((nD, H))]),
+        out_shape=(
+            jax.ShapeDtypeStruct((bt_pad, na, nt, H), h_e.dtype),
+            jax.ShapeDtypeStruct((bt_pad, na, nt), jnp.float32),
+            jax.ShapeDtypeStruct((nD, H), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(he_p, act_p, new_p, ga_d, gb_d, bih2, w_hh, bhh2, w_eb, m_p)
+    out = (eo[:BT], lg[:BT], es)
+    return out, (h_e, act_l, new_l, ga_d, gb_d, b_ih, w_hh, b_hh, w_eb,
+                 mask3)
+
+
+def _es_bwd(sign, mm_dtype, B, capD, g, interpret, res, grads):
+    h_e, act_l, new_l, ga_d, gb_d, b_ih, w_hh, b_hh, w_eb, mask3 = res
+    g_eo, g_lg, g_es = grads
+    BT, na, nt, H = h_e.shape
+    nD = B * capD
+    bt_pad = -(-BT // g) * g
+    he_p, act_p, new_p, m_p, geo_p, glg_p = (
+        _pad_bt(x, bt_pad) for x in (h_e, act_l, new_l, mask3, g_eo, g_lg))
+    bhh2 = b_hh.reshape(1, 3 * H)
+    bih2 = b_ih.reshape(1, 3 * H)
+    whh_t = w_hh.T
+
+    kernel = functools.partial(_es_bwd_kernel, sign=sign, mm_dtype=mm_dtype,
+                               B=B, capD=capD, G=g)
+    dhe, dgad, dgbd, dbih, dwhh, dbhh, dweb = pl.pallas_call(
+        kernel,
+        grid=(bt_pad // g,),
+        in_specs=_specs([he_p.shape, act_p.shape, new_p.shape], g)
+        + [_const_spec(ga_d.shape), _const_spec(gb_d.shape),
+           _const_spec(bih2.shape), _const_spec(w_hh.shape),
+           _const_spec(whh_t.shape), _const_spec(bhh2.shape),
+           _const_spec(w_eb.shape)]
+        + _specs([m_p.shape, geo_p.shape, glg_p.shape], g)
+        + [_const_spec((nD, H))],
+        out_specs=tuple(
+            _specs([(bt_pad, na, nt, H)], g)
+            + [_const_spec((nD, 3 * H)), _const_spec((nD, 3 * H)),
+               _const_spec((1, 3 * H)), _const_spec((H, 3 * H)),
+               _const_spec((1, 3 * H)), _const_spec((1, H))]),
+        out_shape=(
+            jax.ShapeDtypeStruct((bt_pad, na, nt, H), h_e.dtype),
+            jax.ShapeDtypeStruct((nD, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((nD, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(he_p, act_p, new_p, ga_d, gb_d, bih2, w_hh, whh_t, bhh2, w_eb, m_p,
+      geo_p, glg_p, g_es)
+    return (dhe[:BT], jnp.zeros_like(act_l), jnp.zeros_like(new_l),
+            dgad.astype(ga_d.dtype), dgbd.astype(gb_d.dtype),
+            dbih.reshape(b_ih.shape), dwhh, dbhh.reshape(b_hh.shape),
+            dweb.T, jnp.zeros_like(mask3))
+
+
+fused_block_round_es.defvjp(_es_fwd, _es_bwd)
+
+
 def reference_block_round(h_e, ga, gb, w_hh, b_hh, w_eb, mask3, sign,
                           mm_dtype=None):
     """Plain-XLA oracle with identical semantics (for parity tests)."""

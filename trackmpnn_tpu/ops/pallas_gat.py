@@ -17,6 +17,7 @@ both value and cotangent flow, matching the row layout's pre-masked a_in
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +31,10 @@ from trackmpnn_tpu.ops.pallas_util import (
     pad_leading as _pad_bt,
 )
 
-DEFAULT_G = 8
+# grid blocks per launch for the stacked-head kernels; TM_GAT_G overrides
+# (the 3-head fused path fails to COMPILE at some (G, K) points on this
+# toolchain — the knob lets per-config selection find a compiling grid)
+DEFAULT_G = int(os.environ.get("TM_GAT_G", "8"))
 
 
 def _fwd_kernel(ha_ref, hn_ref, a_ref, m_ref, e_ref, *, alpha):

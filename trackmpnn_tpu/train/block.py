@@ -277,6 +277,8 @@ class _SegView(NamedTuple):
     bs: jnp.ndarray      # i32[P] block -> step
     st: "StaticTargets"  # per-block static target picks, step-major
     seg: jnp.ndarray     # i32[P*(na+nt)] incident-union segment ids
+    act_l: jnp.ndarray = None  # f32[P, na_cap] window-LOCAL act ids (es krnl)
+    new_l: jnp.ndarray = None  # f32[P, nt_cap] window-LOCAL new ids
 
 
 def build_static_targets(bb: BlockBatch, row_m, col_m) -> StaticTargets:
@@ -588,7 +590,14 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     if use_fused:
         interp = jax.default_backend() != "tpu"
         from trackmpnn_tpu.ops.pallas_block import DEFAULT_G as PB_G
-        from trackmpnn_tpu.ops.pallas_block import fused_block_round
+        from trackmpnn_tpu.ops.pallas_block import (fused_block_round,
+                                                    fused_block_round_es)
+    # scatter-free round (round 5): gather + edge_support move INTO the
+    # kernel as per-window one-hot matmuls (ops/pallas_block.py
+    # fused_block_round_es), killing the ~30 serialized XLA scatter-adds
+    # around the round.  Non-GAT configs only; TM_ES_KERNEL=0 opts out.
+    use_es_kernel = (use_fused and cfg.nattheads == 0
+                     and os.environ.get("TM_ES_KERNEL", "1") == "1")
     if use_fused_loss:
         from trackmpnn_tpu.ops.pallas_loss import DEFAULT_G as PL_G
         from trackmpnn_tpu.ops.pallas_loss import edge_losses
@@ -649,6 +658,13 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         segs.append((_lo, _hi))
         _lo = _hi
 
+    if use_es_kernel:
+        # window-local det ids for the kernel's one-hot gather/scatter
+        # (global id = w*capD + local); f32 so the custom VJP has float
+        # cotangent slots
+        act_l_sm = (act_sm % capD).astype(jnp.float32)
+        new_l_sm = (new_sm % capD).astype(jnp.float32)
+
     def seg_view(P):
         return _SegView(
             act=act_sm[:P], new=new_sm[:P], bna=bna_sm[:P], bnt=bnt_sm[:P],
@@ -657,6 +673,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
             st=StaticTargets(*(a[:P] for a in st_sm)),
             seg=jnp.concatenate([act_sm[:P].reshape(-1),
                                  new_sm[:P].reshape(-1)]),
+            act_l=act_l_sm[:P] if use_es_kernel else None,
+            new_l=new_l_sm[:P] if use_es_kernel else None,
         )
 
     # lin1 is step-independent: hoist it out of the scan (one tiny matmul)
@@ -797,19 +815,34 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                     ga_d = gb_d = nn.matmul_lp(h_d_b, eg["w_ih"],
                                                compute_dtype)
                     sgn = -1.0
-                ga = ga_d[v.act] + eg["b_ih"]
-                gb = gb_d[v.new]
-                if (compute_dtype is not None
-                        and os.environ.get("TM_GAB_F32", "") != "1"):
-                    # stream the input gates at half the HBM bytes; the
-                    # kernel computes in f32 and astype's VJP casts the
-                    # bf16 dga/dgb back to f32 before upstream reductions
-                    ga = ga.astype(compute_dtype)
-                    gb = gb.astype(compute_dtype)
+                stream_bf16 = (compute_dtype is not None
+                               and os.environ.get("TM_GAB_F32", "") != "1")
                 w_eb = params["out_edge"]["w"][bi * H:(bi + 1) * H]
-                edge_out, rs, cs, lg = fused_block_round(
-                    h_e_sl, ga, gb, eg["w_hh"], eg["b_hh"], w_eb, m3, sgn,
-                    compute_dtype, PB_G, interp)
+                if use_es_kernel:
+                    # scatter-free round: the act/new gather AND the es
+                    # edge_support reduction happen inside the kernel via
+                    # per-window one-hot matmuls (no XLA scatter/gather)
+                    if stream_bf16:
+                        shared = gb_d is ga_d
+                        ga_d = ga_d.astype(compute_dtype)
+                        gb_d = ga_d if shared else gb_d.astype(compute_dtype)
+                    edge_out, lg, es_k = fused_block_round_es(
+                        h_e_sl, v.act_l, v.new_l, ga_d, gb_d, eg["b_ih"],
+                        eg["w_hh"], eg["b_hh"], w_eb, m3, sgn,
+                        compute_dtype, B, capD, PB_G, interp)
+                else:
+                    ga = ga_d[v.act] + eg["b_ih"]
+                    gb = gb_d[v.new]
+                    if stream_bf16:
+                        # stream the input gates at half the HBM bytes; the
+                        # kernel computes in f32 and astype's VJP casts the
+                        # bf16 dga/dgb back to f32 before upstream
+                        # reductions
+                        ga = ga.astype(compute_dtype)
+                        gb = gb.astype(compute_dtype)
+                    edge_out, rs, cs, lg = fused_block_round(
+                        h_e_sl, ga, gb, eg["w_hh"], eg["b_hh"], w_eb, m3,
+                        sgn, compute_dtype, PB_G, interp)
                 lg_parts.append(lg)
             else:
                 # XLA fallback keeps the ns-matmul formulation: on-chip the
@@ -843,6 +876,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                                         v.new, em3, v.seg, vm, nD, rng_sb,
                                         train, fused=gat_fused, m3=m3,
                                         interp=interp if gat_fused else False)
+            elif use_es_kernel:
+                es = es_k  # already reduced to det layout inside the kernel
             else:
                 if not use_fused:
                     # edge_support partials: +rows to active, -cols to new
@@ -1069,6 +1104,8 @@ def make_block_train_step(cfg: mpnn.ModelConfig, tx, tp_classifier: bool,
         return step
 
     step = build(gat_fused)
+    if os.environ.get("TM_GAT_FALLBACK", "") == "0":  # A/B: fail loudly
+        gat_fallback = False
     if not (gat_fallback and fused and cfg.nattheads > 0
             and gat_fused is not False):
         return step
