@@ -292,23 +292,28 @@ def test_block_gat_requires_rng_in_train():
     block_window_forward(params, stats, cfg, bb, True, train=False)
 
 
+@pytest.mark.parametrize("mode", ["1", "2"])
 @pytest.mark.parametrize("msg_type", ["diff", "concat"])
-def test_block_es_kernel_matches_partials_round(monkeypatch, msg_type):
-    """The scatter-free round (fused_block_round_es: gather + edge_support
-    INSIDE the kernel via per-window one-hot matmuls) == the rs/cs-partials
-    kernel + XLA segment_sum: loss, counts, grads."""
+def test_block_es_kernel_matches_partials_round(monkeypatch, msg_type,
+                                                mode):
+    """The scatter-free round == the rs/cs-partials kernel + XLA
+    segment_sum: loss, counts, grads.  mode "1" = integrated
+    fused_block_round_es (gather + edge_support INSIDE the round kernel);
+    mode "2" = the production composition (window_gather2/window_scatter
+    around the proven round kernel — the integrated backward does not
+    compile on the TPU toolchain)."""
     cfg, params, stats = _model(msg_type, seed=13)
     bb = build_block_batch(build(3, seed0=20), TCAP)
 
-    def run(es):
-        monkeypatch.setenv("TM_ES_KERNEL", "1" if es else "0")
+    def run(m):
+        monkeypatch.setenv("TM_ES_KERNEL", m)
         def f(p):
             return block_window_forward(p, stats, cfg, bb, True, fused=True)
         (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(params)
         return loss, aux, grads
 
-    lp, ap, gp = run(False)
-    le, ae, ge = run(True)
+    lp, ap, gp = run("0")
+    le, ae, ge = run(mode)
     np.testing.assert_allclose(float(le), float(lp), rtol=1e-5)
     for k in ("tp", "fp", "fn"):
         assert int(ae[k]) == int(ap[k]), k

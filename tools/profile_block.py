@@ -91,7 +91,11 @@ def main():
     opt = tx.init(params)
     step = make_block_train_step(cfg, tx, tp_classifier=False,
                                  compute_dtype=jnp.bfloat16 if BF16 else None,
-                                 fused=FUSED, defer_loss=DEFER)
+                                 fused=FUSED, defer_loss=DEFER,
+                                 # keep the raw jit so .lower() works for
+                                 # the TOP_RAW HLO dump (the GAT fallback
+                                 # wrapper is a plain function)
+                                 gat_fallback=False)
     state = [params, stats, opt]
 
     rng = [jax.random.key(7)] if NATT else None

@@ -288,11 +288,13 @@ def _onehot_t(idx_ref, gi, capd, n, dtype):
     """[capD, n] one-hot transpose: column j has a 1 at row idx[j].
 
     idx arrives f32 (int values; f32 avoids integer-cotangent plumbing in
-    the custom VJP), compared against an i32 iota cast to f32 (a direct
-    f32 broadcasted_iota fails Mosaic verification)."""
+    the custom VJP) and 3D [BT, 1, n] (a 2D blocked [BT, n] input violates
+    Mosaic's (8,128) block-shape rule at small G; with a middle 1 the last
+    two block dims equal the full dims), compared against an i32 iota cast
+    to f32 (a direct f32 broadcasted_iota fails Mosaic verification)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (capd, n), 0).astype(
         jnp.float32)
-    row = idx_ref[pl.ds(gi, 1)]                        # [1, n] f32
+    row = idx_ref[pl.ds(gi, 1)].reshape(1, n)          # [1, n] f32
     return (iota == row).astype(dtype)
 
 
@@ -359,10 +361,12 @@ def _es_bwd_kernel(he_ref, act_ref, new_ref, gad_ref, gbd_ref, bih_ref,
     def _zero():
         dgad_ref[:] = jnp.zeros_like(dgad_ref)
         dgbd_ref[:] = jnp.zeros_like(dgbd_ref)
-        dbih_ref[:] = jnp.zeros_like(dbih_ref)
-        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
-        dbhh_ref[:] = jnp.zeros_like(dbhh_ref)
-        dweb_ref[:] = jnp.zeros_like(dweb_ref)
+
+    # weight/bias grads accumulate in LOCAL values over the unrolled gi
+    # loop (they're tiny) and hit their refs ONCE per program — per-gi
+    # read-modify-write chains on [1, 3H]-shaped const outputs crash the
+    # Mosaic backend (bisected: fwd OK / bwd crash, debug_es_kernel.py)
+    acc_dwhh = acc_dbhh = acc_dbih = acc_dweb = None
 
     for gi in range(G):
         base = ((pid * G + gi) % B) * capD
@@ -421,11 +425,28 @@ def _es_bwd_kernel(he_ref, act_ref, new_ref, gad_ref, gbd_ref, bih_ref,
             oh_a, dga_rows.astype(mmd), preferred_element_type=jnp.float32)
         dgbd_ref[pl.ds(base, capD)] += jnp.dot(
             oh_n, dgb_rows.astype(mmd), preferred_element_type=jnp.float32)
-        dbih_ref[:] += jnp.sum(dga_rows, axis=0, keepdims=True)
-        dwhh_ref[:] += _mm(he_m.reshape(na * nt, H).T,
-                           dgh.reshape(na * nt, 3 * H), mm_dtype)
-        dbhh_ref[:] += jnp.sum(dgh, axis=(0, 1)).reshape(1, 3 * H)
-        dweb_ref[:] += dweb
+        dbih = jnp.sum(dga_rows, axis=0, keepdims=True)
+        dwhh = _mm(he_m.reshape(na * nt, H).T,
+                   dgh.reshape(na * nt, 3 * H), mm_dtype)
+        dbhh = jnp.sum(dgh, axis=(0, 1)).reshape(1, 3 * H)
+        acc_dbih = dbih if acc_dbih is None else acc_dbih + dbih
+        acc_dwhh = dwhh if acc_dwhh is None else acc_dwhh + dwhh
+        acc_dbhh = dbhh if acc_dbhh is None else acc_dbhh + dbhh
+        acc_dweb = dweb if acc_dweb is None else acc_dweb + dweb
+
+    @pl.when(pid == 0)
+    def _init_w():
+        dbih_ref[:] = acc_dbih
+        dwhh_ref[:] = acc_dwhh
+        dbhh_ref[:] = acc_dbhh
+        dweb_ref[:] = acc_dweb
+
+    @pl.when(pid > 0)
+    def _acc_w():
+        dbih_ref[:] += acc_dbih
+        dwhh_ref[:] += acc_dwhh
+        dbhh_ref[:] += acc_dbhh
+        dweb_ref[:] += acc_dweb
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
@@ -457,7 +478,8 @@ def _es_fwd(h_e, act_l, new_l, ga_d, gb_d, b_ih, w_hh, b_hh, w_eb, mask3,
     nD = B * capD
     bt_pad = -(-BT // g) * g
     he_p, act_p, new_p, m_p = (_pad_bt(x, bt_pad)
-                               for x in (h_e, act_l, new_l, mask3))
+                               for x in (h_e, act_l[:, None, :],
+                                         new_l[:, None, :], mask3))
     bhh2 = b_hh.reshape(1, 3 * H)
     bih2 = b_ih.reshape(1, 3 * H)
 
@@ -493,7 +515,8 @@ def _es_bwd(sign, mm_dtype, B, capD, g, interpret, res, grads):
     nD = B * capD
     bt_pad = -(-BT // g) * g
     he_p, act_p, new_p, m_p, geo_p, glg_p = (
-        _pad_bt(x, bt_pad) for x in (h_e, act_l, new_l, mask3, g_eo, g_lg))
+        _pad_bt(x, bt_pad) for x in (h_e, act_l[:, None, :],
+                                     new_l[:, None, :], mask3, g_eo, g_lg))
     bhh2 = b_hh.reshape(1, 3 * H)
     bih2 = b_ih.reshape(1, 3 * H)
     whh_t = w_hh.T
@@ -535,6 +558,118 @@ def _es_bwd(sign, mm_dtype, B, capD, g, interpret, res, grads):
 
 
 fused_block_round_es.defvjp(_es_fwd, _es_bwd)
+
+
+# --------------------------------------------------------------------------
+# Standalone window scatter/gather ops (round 5, the composition that
+# ships).  The integrated es round above compiles forward-only on this
+# toolchain (its backward crashes tpu_compile_helper at every G — see
+# tools/debug_es_bwd_bisect.py; even with the gather/scatter/dwhh parts
+# stripped the per-block gate-recompute body won't build).  The same
+# ~1.2 ms of serialized XLA scatter-adds dies with two SIMPLE kernels
+# instead, built only from constructs the micro-bisect proved compile
+# (tools/debug_es_kernel.py `combo`: one-hot build + TN dot + dynamic
+# read + dynamic accumulate):
+#
+#   * window_scatter(vals[P,n,F], idx[P,n]) -> [B*capD, F]: the es
+#     edge_support reduction, one launch per scan step instead of a
+#     13-14 ns/row XLA scatter walk; VJP is the cheap XLA gather.
+#   * window_gather2: ga_d[act]/gb_d[new] with fwd as the cheap XLA
+#     gather (16 us @ 4k rows) and a custom VJP that routes the
+#     cotangent scatter through window_scatter — the bwd-side
+#     [B*capD, 3H] scatter-adds were the other half of the cost.
+# --------------------------------------------------------------------------
+
+
+def _wscatter_kernel(vals_ref, idx_ref, out_ref, *, B, capD, G):
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    n = vals_ref.shape[1]
+    for gi in range(G):
+        base = ((pid * G + gi) % B) * capD
+        oh = _onehot_t(idx_ref, gi, capD, n, jnp.float32)   # [capD, n]
+        v = vals_ref[pl.ds(gi, 1)].reshape(n, vals_ref.shape[2])
+        out_ref[pl.ds(base, capD)] += jnp.dot(
+            oh, v.astype(jnp.float32), preferred_element_type=jnp.float32)
+
+
+def _global_idx(idx_l, B, capD):
+    P = idx_l.shape[0]
+    w = (jnp.arange(P, dtype=jnp.int32) % B)[:, None]
+    return w * capD + idx_l.astype(jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def window_scatter(vals, idx_l, B, capD, g=DEFAULT_G, interpret=False):
+    """sum-scatter vals[p, i] into row (p%B)*capD + idx_l[p, i] of a
+    [B*capD, F] f32 output.  idx_l f32 window-local ids; step-major block
+    order (block p is window p % B).  VJP w.r.t. vals is the cheap XLA
+    gather; idx gets zeros."""
+    out, _ = _wscatter_fwd(vals, idx_l, B, capD, g, interpret)
+    return out
+
+
+def _wscatter_fwd(vals, idx_l, B, capD, g, interpret):
+    P, n, F = vals.shape
+    p_pad = -(-P // g) * g
+    vals_p = _pad_bt(vals, p_pad)
+    idx_p = _pad_bt(idx_l[:, None, :], p_pad)
+    kernel = functools.partial(_wscatter_kernel, B=B, capD=capD, G=g)
+    out = pl.pallas_call(
+        kernel,
+        grid=(p_pad // g,),
+        in_specs=_specs([vals_p.shape, idx_p.shape], g),
+        out_specs=_const_spec((B * capD, F)),
+        out_shape=jax.ShapeDtypeStruct((B * capD, F), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+    )(vals_p, idx_p)
+    return out, (idx_l, jnp.zeros((), vals.dtype))
+
+
+def _wscatter_bwd(B, capD, g, interpret, res, dout):
+    idx_l, vproto = res
+    dvals = dout[_global_idx(idx_l, B, capD)]
+    return dvals.astype(vproto.dtype), jnp.zeros_like(idx_l)
+
+
+window_scatter.defvjp(_wscatter_fwd, _wscatter_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def window_gather2(ga_d, gb_d, act_l, new_l, B, capD, g=DEFAULT_G,
+                   interpret=False):
+    """(ga_d[act], gb_d[new]) per block — plain XLA gathers forward, but
+    the cotangent scatter back to the [B*capD, 3H] detection layout goes
+    through the window_scatter kernel instead of XLA's serialized
+    scatter-add."""
+    out, _ = _wgather2_fwd(ga_d, gb_d, act_l, new_l, B, capD, g, interpret)
+    return out
+
+
+def _wgather2_fwd(ga_d, gb_d, act_l, new_l, B, capD, g, interpret):
+    ga = ga_d[_global_idx(act_l, B, capD)]
+    gb = gb_d[_global_idx(new_l, B, capD)]
+    return (ga, gb), (act_l, new_l, jnp.zeros((), ga_d.dtype),
+                      jnp.zeros((), gb_d.dtype))
+
+
+def _wgather2_bwd(B, capD, g, interpret, res, grads):
+    act_l, new_l, gap, gbp = res
+    dga, dgb = grads
+    dga_d = window_scatter(dga.astype(jnp.float32), act_l, B, capD, g,
+                           interpret)
+    dgb_d = window_scatter(dgb.astype(jnp.float32), new_l, B, capD, g,
+                           interpret)
+    return (dga_d.astype(gap.dtype), dgb_d.astype(gbp.dtype),
+            jnp.zeros_like(act_l), jnp.zeros_like(new_l))
+
+
+window_gather2.defvjp(_wgather2_fwd, _wgather2_bwd)
 
 
 def reference_block_round(h_e, ga, gb, w_hh, b_hh, w_eb, mask3, sign,

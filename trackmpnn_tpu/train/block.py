@@ -591,13 +591,23 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         interp = jax.default_backend() != "tpu"
         from trackmpnn_tpu.ops.pallas_block import DEFAULT_G as PB_G
         from trackmpnn_tpu.ops.pallas_block import (fused_block_round,
-                                                    fused_block_round_es)
-    # scatter-free round (round 5): gather + edge_support move INTO the
-    # kernel as per-window one-hot matmuls (ops/pallas_block.py
-    # fused_block_round_es), killing the ~30 serialized XLA scatter-adds
-    # around the round.  Non-GAT configs only; TM_ES_KERNEL=0 opts out.
-    use_es_kernel = (use_fused and cfg.nattheads == 0
-                     and os.environ.get("TM_ES_KERNEL", "1") == "1")
+                                                    fused_block_round_es,
+                                                    window_gather2,
+                                                    window_scatter)
+    # scatter-free round (round 5).  TM_ES_KERNEL modes, non-GAT only:
+    #   "2" (default): composition — the round keeps the proven
+    #       fused_block_round kernel, while the es edge_support reduction
+    #       and the ga/gb gather-VJP scatters route through the standalone
+    #       window_scatter/window_gather2 kernels (one-hot matmuls), which
+    #       kills the ~30 serialized XLA scatter-adds (~1.2 ms of the
+    #       6.54 ms step, logs/profile_block_r5.log);
+    #   "1": integrated fused_block_round_es — forward compiles but its
+    #       backward crashes tpu_compile_helper at every G on this
+    #       toolchain (tools/debug_es_bwd_bisect.py); dev only;
+    #   "0": plain XLA gather/segment_sum (the round-4 path).
+    es_mode = os.environ.get("TM_ES_KERNEL", "2")
+    use_es_kernel = (use_fused and cfg.nattheads == 0 and es_mode == "1")
+    use_es_compose = (use_fused and cfg.nattheads == 0 and es_mode == "2")
     if use_fused_loss:
         from trackmpnn_tpu.ops.pallas_loss import DEFAULT_G as PL_G
         from trackmpnn_tpu.ops.pallas_loss import edge_losses
@@ -658,7 +668,7 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         segs.append((_lo, _hi))
         _lo = _hi
 
-    if use_es_kernel:
+    if use_es_kernel or use_es_compose:
         # window-local det ids for the kernel's one-hot gather/scatter
         # (global id = w*capD + local); f32 so the custom VJP has float
         # cotangent slots
@@ -673,8 +683,10 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
             st=StaticTargets(*(a[:P] for a in st_sm)),
             seg=jnp.concatenate([act_sm[:P].reshape(-1),
                                  new_sm[:P].reshape(-1)]),
-            act_l=act_l_sm[:P] if use_es_kernel else None,
-            new_l=new_l_sm[:P] if use_es_kernel else None,
+            act_l=(act_l_sm[:P] if use_es_kernel or use_es_compose
+                   else None),
+            new_l=(new_l_sm[:P] if use_es_kernel or use_es_compose
+                   else None),
         )
 
     # lin1 is step-independent: hoist it out of the scan (one tiny matmul)
@@ -831,8 +843,15 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                         eg["w_hh"], eg["b_hh"], w_eb, m3, sgn,
                         compute_dtype, B, capD, PB_G, interp)
                 else:
-                    ga = ga_d[v.act] + eg["b_ih"]
-                    gb = gb_d[v.new]
+                    if use_es_compose:
+                        # cheap XLA gather fwd, window_scatter-kernel VJP
+                        ga_g, gb = window_gather2(ga_d, gb_d, v.act_l,
+                                                  v.new_l, B, capD, PB_G,
+                                                  interp)
+                        ga = ga_g + eg["b_ih"]
+                    else:
+                        ga = ga_d[v.act] + eg["b_ih"]
+                        gb = gb_d[v.new]
                     if stream_bf16:
                         # stream the input gates at half the HBM bytes; the
                         # kernel computes in f32 and astype's VJP casts the
@@ -878,6 +897,13 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                                         interp=interp if gat_fused else False)
             elif use_es_kernel:
                 es = es_k  # already reduced to det layout inside the kernel
+            elif use_es_compose:
+                # one window_scatter launch replaces the serialized
+                # XLA scatter-add (rows scatter +, new-det cols -)
+                es = window_scatter(
+                    jnp.concatenate([rs, -cs], axis=1),
+                    jnp.concatenate([v.act_l, v.new_l], axis=1),
+                    B, capD, PB_G, interp)
             else:
                 if not use_fused:
                     # edge_support partials: +rows to active, -cols to new
