@@ -24,6 +24,18 @@ from trackmpnn_tpu.train.packed import pack_schedules, packed_window_forward
 CAP, TCAP = 256, 10
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """XLA:CPU's LLVM backend segfaults ORDER-DEPENDENTLY when enough
+    distinct block-step programs accumulate in one process (the same
+    flakiness that caps the CPU TM_PREFIX_K default at 2; every crashing
+    test passes in isolation).  Dropping the executable cache between
+    tests in this file keeps the accumulation below the trigger at the
+    cost of some recompiles."""
+    yield
+    jax.clear_caches()
+
+
 def build(n, seed0=0):
     out, s = [], seed0
     while len(out) < n:

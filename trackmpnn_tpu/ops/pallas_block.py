@@ -70,6 +70,27 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_MB * 1024 * 1024)
 
 
+def _sds(shape, dtype, vma):
+    """ShapeDtypeStruct with an optional varying-mesh-axes annotation.
+
+    Under shard_map with check_vma=True (which must stay ON — see
+    parallel/block_parallel.py) every pallas_call out_shape must declare
+    how it varies across the mesh; the callers thread the shard axis in
+    via `vma` (a frozenset of axis names, or None off-mesh)."""
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _pvary(x, vma):
+    """Broadcast a replicated operand to the varying mesh axes so every
+    kernel input has a consistent vma (interpret mode re-executes the
+    kernel body as JAX ops, which rejects mixed-vma dot_generals).  The
+    custom VJPs never differentiate through this (their bwd functions are
+    hand-written), so the weight-cotangent psum stays explicit in _bwd."""
+    return jax.lax.pvary(x, tuple(vma)) if vma else x
+
+
 def _mm(x, w, mm_dtype):
     """x @ w with optional bf16 MXU feed + f32 accumulation (nn.matmul_lp)."""
     if mm_dtype is not None:
@@ -169,9 +190,9 @@ def _bwd_kernel(he_ref, ga_ref, gb_ref, whh_ref, whh_t_ref, bhh_ref,
 
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_block_round(h_e, ga, gb, w_hh, b_hh, w_eb, mask3, sign, mm_dtype,
-                      g=DEFAULT_G, interpret=False):
+                      g=DEFAULT_G, interpret=False, vma=None):
     """(edge_out, rs, cs, logit) for one message-passing round.
 
     h_e [BT,na,nt,H] (f32/bf16); ga [BT,na,3H] / gb [BT,nt,3H] f32-or-bf16
@@ -185,15 +206,17 @@ def fused_block_round(h_e, ga, gb, w_hh, b_hh, w_eb, mask3, sign, mm_dtype,
     logit = edge_out @ w_eb, f32 [BT,na,nt].
     """
     out, _ = _fwd(h_e, ga, gb, w_hh, b_hh, w_eb, mask3, sign, mm_dtype, g,
-                  interpret)
+                  interpret, vma)
     return out
 
 
-def _fwd(h_e, ga, gb, w_hh, b_hh, w_eb, mask3, sign, mm_dtype, g, interpret):
+def _fwd(h_e, ga, gb, w_hh, b_hh, w_eb, mask3, sign, mm_dtype, g, interpret,
+         vma=None):
     BT, na, nt, H = h_e.shape
     bt_pad = -(-BT // g) * g
     he_p, ga_p, gb_p, m_p = (_pad_bt(x, bt_pad) for x in (h_e, ga, gb, mask3))
     bhh2 = b_hh.reshape(1, 3 * H)
+    w_hh_k, bhh2, w_eb_k = (_pvary(x, vma) for x in (w_hh, bhh2, w_eb))
 
     kernel = functools.partial(_fwd_kernel, sign=sign, mm_dtype=mm_dtype)
     eo, rs, cs, lg = pl.pallas_call(
@@ -206,19 +229,19 @@ def _fwd(h_e, ga, gb, w_hh, b_hh, w_eb, mask3, sign, mm_dtype, g, interpret):
         out_specs=tuple(_specs([(bt_pad, na, nt, H), (bt_pad, na, H),
                                 (bt_pad, nt, H), (bt_pad, na, nt)], g)),
         out_shape=(
-            jax.ShapeDtypeStruct((bt_pad, na, nt, H), h_e.dtype),
-            jax.ShapeDtypeStruct((bt_pad, na, H), jnp.float32),
-            jax.ShapeDtypeStruct((bt_pad, nt, H), jnp.float32),
-            jax.ShapeDtypeStruct((bt_pad, na, nt), jnp.float32),
+            _sds((bt_pad, na, nt, H), h_e.dtype, vma),
+            _sds((bt_pad, na, H), jnp.float32, vma),
+            _sds((bt_pad, nt, H), jnp.float32, vma),
+            _sds((bt_pad, na, nt), jnp.float32, vma),
         ),
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
-    )(he_p, ga_p, gb_p, w_hh, bhh2, w_eb, m_p)
+    )(he_p, ga_p, gb_p, w_hh_k, bhh2, w_eb_k, m_p)
     out = (eo[:BT], rs[:BT], cs[:BT], lg[:BT])
     return out, (h_e, ga, gb, w_hh, b_hh, w_eb, mask3)
 
 
-def _bwd(sign, mm_dtype, g, interpret, res, grads):
+def _bwd(sign, mm_dtype, g, interpret, vma, res, grads):
     h_e, ga, gb, w_hh, b_hh, w_eb, mask3 = res
     g_eo, g_rs, g_cs, g_lg = grads
     BT, na, nt, H = h_e.shape
@@ -228,6 +251,8 @@ def _bwd(sign, mm_dtype, g, interpret, res, grads):
         for x in (h_e, ga, gb, mask3, g_eo, g_rs, g_cs, g_lg))
     bhh2 = b_hh.reshape(1, 3 * H)
     whh_t = w_hh.T
+    w_hh_k, whh_t, bhh2, w_eb_k = (_pvary(x, vma)
+                                   for x in (w_hh, whh_t, bhh2, w_eb))
 
     kernel = functools.partial(_bwd_kernel, sign=sign, mm_dtype=mm_dtype)
     dhe, dga, dgb, dwhh, dbhh, dweb = pl.pallas_call(
@@ -244,17 +269,24 @@ def _bwd(sign, mm_dtype, g, interpret, res, grads):
             + [_const_spec((H, 3 * H)), _const_spec((1, 3 * H)),
                _const_spec((1, H))]),
         out_shape=(
-            jax.ShapeDtypeStruct((bt_pad, na, nt, H), h_e.dtype),
-            jax.ShapeDtypeStruct((bt_pad, na, 3 * H), ga.dtype),
-            jax.ShapeDtypeStruct((bt_pad, nt, 3 * H), gb.dtype),
-            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            _sds((bt_pad, na, nt, H), h_e.dtype, vma),
+            _sds((bt_pad, na, 3 * H), ga.dtype, vma),
+            _sds((bt_pad, nt, 3 * H), gb.dtype, vma),
+            _sds((H, 3 * H), jnp.float32, vma),
+            _sds((1, 3 * H), jnp.float32, vma),
+            _sds((1, H), jnp.float32, vma),
         ),
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
-    )(he_p, ga_p, gb_p, w_hh, whh_t, bhh2, w_eb, m_p, geo_p, grs_p, gcs_p,
-      glg_p)
+    )(he_p, ga_p, gb_p, w_hh_k, whh_t, bhh2, w_eb_k, m_p, geo_p, grs_p,
+      gcs_p, glg_p)
+    if vma:
+        # under shard_map the kernel's weight cotangents are per-shard
+        # partials; XLA-derived param grads get psum'd automatically at
+        # the pvary transpose of the replicated-params broadcast, but a
+        # custom VJP must insert that reduction itself or the carries
+        # come back varying (and, worse, per-shard)
+        dwhh, dbhh, dweb = jax.lax.psum((dwhh, dbhh, dweb), tuple(vma))
     return (dhe[:BT], dga[:BT], dgb[:BT], dwhh, dbhh.reshape(3 * H),
             dweb.T, jnp.zeros_like(mask3))
 
@@ -603,17 +635,18 @@ def _global_idx(idx_l, B, capD):
     return w * capD + idx_l.astype(jnp.int32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def window_scatter(vals, idx_l, B, capD, g=DEFAULT_G, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def window_scatter(vals, idx_l, B, capD, g=DEFAULT_G, interpret=False,
+                   vma=None):
     """sum-scatter vals[p, i] into row (p%B)*capD + idx_l[p, i] of a
     [B*capD, F] f32 output.  idx_l f32 window-local ids; step-major block
     order (block p is window p % B).  VJP w.r.t. vals is the cheap XLA
     gather; idx gets zeros."""
-    out, _ = _wscatter_fwd(vals, idx_l, B, capD, g, interpret)
+    out, _ = _wscatter_fwd(vals, idx_l, B, capD, g, interpret, vma)
     return out
 
 
-def _wscatter_fwd(vals, idx_l, B, capD, g, interpret):
+def _wscatter_fwd(vals, idx_l, B, capD, g, interpret, vma=None):
     P, n, F = vals.shape
     p_pad = -(-P // g) * g
     vals_p = _pad_bt(vals, p_pad)
@@ -624,14 +657,14 @@ def _wscatter_fwd(vals, idx_l, B, capD, g, interpret):
         grid=(p_pad // g,),
         in_specs=_specs([vals_p.shape, idx_p.shape], g),
         out_specs=_const_spec((B * capD, F)),
-        out_shape=jax.ShapeDtypeStruct((B * capD, F), jnp.float32),
+        out_shape=_sds((B * capD, F), jnp.float32, vma),
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
     )(vals_p, idx_p)
     return out, (idx_l, jnp.zeros((), vals.dtype))
 
 
-def _wscatter_bwd(B, capD, g, interpret, res, dout):
+def _wscatter_bwd(B, capD, g, interpret, vma, res, dout):
     idx_l, vproto = res
     dvals = dout[_global_idx(idx_l, B, capD)]
     return dvals.astype(vproto.dtype), jnp.zeros_like(idx_l)
@@ -640,31 +673,33 @@ def _wscatter_bwd(B, capD, g, interpret, res, dout):
 window_scatter.defvjp(_wscatter_fwd, _wscatter_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def window_gather2(ga_d, gb_d, act_l, new_l, B, capD, g=DEFAULT_G,
-                   interpret=False):
+                   interpret=False, vma=None):
     """(ga_d[act], gb_d[new]) per block — plain XLA gathers forward, but
     the cotangent scatter back to the [B*capD, 3H] detection layout goes
     through the window_scatter kernel instead of XLA's serialized
     scatter-add."""
-    out, _ = _wgather2_fwd(ga_d, gb_d, act_l, new_l, B, capD, g, interpret)
+    out, _ = _wgather2_fwd(ga_d, gb_d, act_l, new_l, B, capD, g, interpret,
+                           vma)
     return out
 
 
-def _wgather2_fwd(ga_d, gb_d, act_l, new_l, B, capD, g, interpret):
+def _wgather2_fwd(ga_d, gb_d, act_l, new_l, B, capD, g, interpret,
+                  vma=None):
     ga = ga_d[_global_idx(act_l, B, capD)]
     gb = gb_d[_global_idx(new_l, B, capD)]
     return (ga, gb), (act_l, new_l, jnp.zeros((), ga_d.dtype),
                       jnp.zeros((), gb_d.dtype))
 
 
-def _wgather2_bwd(B, capD, g, interpret, res, grads):
+def _wgather2_bwd(B, capD, g, interpret, vma, res, grads):
     act_l, new_l, gap, gbp = res
     dga, dgb = grads
     dga_d = window_scatter(dga.astype(jnp.float32), act_l, B, capD, g,
-                           interpret)
+                           interpret, vma)
     dgb_d = window_scatter(dgb.astype(jnp.float32), new_l, B, capD, g,
-                           interpret)
+                           interpret, vma)
     return (dga_d.astype(gap.dtype), dgb_d.astype(gbp.dtype),
             jnp.zeros_like(act_l), jnp.zeros_like(new_l))
 

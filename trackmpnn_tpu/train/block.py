@@ -569,6 +569,15 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     # aggregation (attention-weighted sums in _block_gat_support), not the
     # edge GRU the kernel computes; its rs/cs outputs just go unused there.
     use_fused = fused
+    if use_fused and axis_name is not None \
+            and jax.default_backend() != "tpu":
+        # interpret-mode pallas cannot run under shard_map with
+        # check_vma=True on this JAX version (even `x * 2.0` in a kernel
+        # body fails the vma rule — framework limitation, minimal repro
+        # in round-5 notes); off-TPU meshes keep the XLA round.  On real
+        # TPU meshes the kernels run compiled with vma-annotated outputs
+        # and explicit weight-cotangent psums (ops/pallas_block.py).
+        use_fused = False
     # gat_fused=None follows use_fused; False keeps the fused round but
     # routes the attention aggregation through XLA (the fallback when the
     # stacked-head kernels fail to compile at some G/K/nh — seen at
@@ -594,6 +603,13 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                                                     fused_block_round_es,
                                                     window_gather2,
                                                     window_scatter)
+        # under shard_map with check_vma=True every pallas out_shape must
+        # declare its varying mesh axes (latent multi-chip+fused bug found
+        # round 5: no sharded test had ever run fused=True)
+        kvma = None
+        if axis_name is not None:
+            kvma = frozenset((axis_name,) if isinstance(axis_name, str)
+                             else tuple(axis_name))
     # scatter-free round (round 5).  TM_ES_KERNEL modes, non-GAT only:
     #   "2" (default): composition — the round keeps the proven
     #       fused_block_round kernel, while the es edge_support reduction
@@ -605,7 +621,13 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
     #       backward crashes tpu_compile_helper at every G on this
     #       toolchain (tools/debug_es_bwd_bisect.py); dev only;
     #   "0": plain XLA gather/segment_sum (the round-4 path).
-    es_mode = os.environ.get("TM_ES_KERNEL", "2")
+    # Default is backend-dependent: "2" on TPU, "0" on CPU — running the
+    # interpret-mode compose programs throughout the CPU suite tripped
+    # XLA:CPU's order-dependent LLVM segfault (the same one that caps the
+    # CPU TM_PREFIX_K default at 2); the dedicated parity tests set the
+    # mode explicitly.
+    es_default = "2" if jax.default_backend() == "tpu" else "0"
+    es_mode = os.environ.get("TM_ES_KERNEL", es_default)
     use_es_kernel = (use_fused and cfg.nattheads == 0 and es_mode == "1")
     use_es_compose = (use_fused and cfg.nattheads == 0 and es_mode == "2")
     if use_fused_loss:
@@ -847,7 +869,7 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                         # cheap XLA gather fwd, window_scatter-kernel VJP
                         ga_g, gb = window_gather2(ga_d, gb_d, v.act_l,
                                                   v.new_l, B, capD, PB_G,
-                                                  interp)
+                                                  interp, kvma)
                         ga = ga_g + eg["b_ih"]
                     else:
                         ga = ga_d[v.act] + eg["b_ih"]
@@ -861,7 +883,7 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                         gb = gb.astype(compute_dtype)
                     edge_out, rs, cs, lg = fused_block_round(
                         h_e_sl, ga, gb, eg["w_hh"], eg["b_hh"], w_eb, m3,
-                        sgn, compute_dtype, PB_G, interp)
+                        sgn, compute_dtype, PB_G, interp, kvma)
                 lg_parts.append(lg)
             else:
                 # XLA fallback keeps the ns-matmul formulation: on-chip the
@@ -903,7 +925,7 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                 es = window_scatter(
                     jnp.concatenate([rs, -cs], axis=1),
                     jnp.concatenate([v.act_l, v.new_l], axis=1),
-                    B, capD, PB_G, interp)
+                    B, capD, PB_G, interp, kvma)
             else:
                 if not use_fused:
                     # edge_support partials: +rows to active, -cols to new
