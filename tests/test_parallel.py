@@ -238,3 +238,34 @@ def test_sharded_block_step_defer_loss_matches_single_device():
                     jax.tree_util.tree_leaves(s1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_block_step_fused_guard_matches_single_device():
+    """fused=True under an off-TPU mesh must NOT crash: interpret-mode
+    pallas cannot run under shard_map/check_vma on this JAX version, so
+    block_window_forward guards it back to the XLA round (train/block.py).
+    The guarded sharded step must equal the single-device XLA step after a
+    full optimizer update.  (On real TPU meshes the kernels run compiled,
+    with vma-annotated out_shapes and the custom-VJP weight-cotangent
+    psums — ops/pallas_block.py.)"""
+    from trackmpnn_tpu.parallel.block_parallel import make_sharded_block_step
+    from trackmpnn_tpu.train.block import (build_block_batch,
+                                           make_block_train_step)
+
+    cfg, params, stats, tx = setup(5)
+    bb = build_block_batch(build_batch(8), TCAP)
+    mesh = make_mesh({"data": 4}, jax.devices()[:4])
+
+    step1 = make_block_train_step(cfg, tx, False, fused=False,
+                                  defer_loss=True, remat=False)
+    p1, s1, o1, loss1, aux1 = step1(params, stats, tx.init(params), bb)
+    stepn = make_sharded_block_step(mesh, cfg, tx, False, fused=True,
+                                    defer_loss=True)
+    pn, sn, on, lossn, auxn = stepn(params, stats, tx.init(params), bb)
+    np.testing.assert_allclose(float(lossn), float(loss1), rtol=1e-5)
+    for k in ("tp", "fp", "fn"):
+        assert int(auxn[k]) == int(aux1[k]), k
+    for a, b in zip(jax.tree_util.tree_leaves(pn),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
