@@ -379,7 +379,7 @@ def _block_targets_and_ce(logits_d, logits_e, det_label, active_idx,
 
 def _block_gat_support(gat_params, h_d_b, h_e_b, active_idx, newdet_idx, em3,
                        seg, vm, nD, drop_rng, train, fused=False, m3=None,
-                       interp=False):
+                       interp=False, wsc=None, act_l=None, new_l=None):
     """GAT-attention edge_support in dual layout (ref layers.py:7-46).
 
     A detection's incident edge set is the union of its block ROWS (it is
@@ -455,9 +455,16 @@ def _block_gat_support(gat_params, h_d_b, h_e_b, active_idx, newdet_idx, em3,
             ka = kn = m3[None]                            # broadcast head
         rs, cs = gat_aggregate_mh(e, m_row, m_col, z_row, z_col, h_e_b,
                                   m3, ka, kn, keep, nh, PG_G, interp)
-        es = segment_sum(
-            jnp.concatenate([rs.reshape(-1, H), -cs.reshape(-1, H)]),
-            seg, nD, mask=vm)
+        if wsc is not None:
+            # attention weights are zero at every padded/masked cell, so
+            # rs/cs scatter zeros there — the window_scatter kernel needs
+            # no extra mask (same argument as the non-GAT es path)
+            es = wsc(jnp.concatenate([rs, -cs], axis=1),
+                     jnp.concatenate([act_l, new_l], axis=1))
+        else:
+            es = segment_sum(
+                jnp.concatenate([rs.reshape(-1, H), -cs.reshape(-1, H)]),
+                seg, nD, mask=vm)
         return es / nh
     acc = None
     for hi, hp in enumerate(gat_params):
@@ -495,9 +502,13 @@ def _block_gat_support(gat_params, h_d_b, h_e_b, active_idx, newdet_idx, em3,
             att_n = att_n * kn / keep
         rs = jnp.sum(att_a[..., None] * h_e_b, axis=2)   # [BT, na, H]
         cs = jnp.sum(att_n[..., None] * h_e_b, axis=1)   # [BT, nt, H]
-        es = segment_sum(
-            jnp.concatenate([rs.reshape(-1, H), -cs.reshape(-1, H)]),
-            seg, nD, mask=vm)
+        if wsc is not None:
+            es = wsc(jnp.concatenate([rs, -cs], axis=1),
+                     jnp.concatenate([act_l, new_l], axis=1))
+        else:
+            es = segment_sum(
+                jnp.concatenate([rs.reshape(-1, H), -cs.reshape(-1, H)]),
+                seg, nD, mask=vm)
         acc = es if acc is None else acc + es
     return acc / len(gat_params)
 
@@ -690,10 +701,11 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
         segs.append((_lo, _hi))
         _lo = _hi
 
-    if use_es_kernel or use_es_compose:
-        # window-local det ids for the kernel's one-hot gather/scatter
-        # (global id = w*capD + local); f32 so the custom VJP has float
-        # cotangent slots
+    if use_fused:
+        # window-local det ids for the kernels' one-hot gather/scatter
+        # (global id = w*capD + local); f32 so the custom VJPs have float
+        # cotangent slots.  Used by the es composition AND the GAT
+        # edge_support scatter.
         act_l_sm = (act_sm % capD).astype(jnp.float32)
         new_l_sm = (new_sm % capD).astype(jnp.float32)
 
@@ -705,10 +717,8 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
             st=StaticTargets(*(a[:P] for a in st_sm)),
             seg=jnp.concatenate([act_sm[:P].reshape(-1),
                                  new_sm[:P].reshape(-1)]),
-            act_l=(act_l_sm[:P] if use_es_kernel or use_es_compose
-                   else None),
-            new_l=(new_l_sm[:P] if use_es_kernel or use_es_compose
-                   else None),
+            act_l=act_l_sm[:P] if use_fused else None,
+            new_l=new_l_sm[:P] if use_fused else None,
         )
 
     # lin1 is step-independent: hoist it out of the scan (one tiny matmul)
@@ -913,10 +923,20 @@ def block_window_forward(params, batch_stats, cfg: mpnn.ModelConfig,
                 # attention weights are zero at padded entries, so the raw
                 # rectangle is safe when the fused round skipped the mask
                 h_e_att = h_e_sl if use_fused else h_e_b
+                # fused rounds route the GAT edge_support reduction
+                # through the window_scatter kernel too (TM_GAT_WS=0
+                # opts out; the m_d segment-MAX stays XLA — the kernel
+                # only sums)
+                wsc = None
+                if use_fused and os.environ.get("TM_GAT_WS", "1") == "1":
+                    wsc = (lambda vals, idx: window_scatter(
+                        vals, idx, B, capD, PB_G, interp, kvma))
                 es = _block_gat_support(bp["gat"], h_d_b, h_e_att, v.act,
                                         v.new, em3, v.seg, vm, nD, rng_sb,
                                         train, fused=gat_fused, m3=m3,
-                                        interp=interp if gat_fused else False)
+                                        interp=interp if gat_fused else False,
+                                        wsc=wsc, act_l=v.act_l,
+                                        new_l=v.new_l)
             elif use_es_kernel:
                 es = es_k  # already reduced to det layout inside the kernel
             elif use_es_compose:
